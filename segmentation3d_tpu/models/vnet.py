@@ -1,0 +1,244 @@
+"""V-Net (Milletari et al. 2016) — TPU-native flax implementation.
+
+Capability-parity rebuild of the reference ``segmentation3d/network/vnet.py``
+(blocks ``ConvBnRelu3`` ≈L10-30, ``BottConvBnRelu3`` ≈L35-60,
+``ResidualBlock3`` ≈L65-95, ``BottResidualBlock3`` ≈L100-125, ``InputBlock``
+≈L130-145, ``DownBlock`` ≈L150-175, ``UpBlock`` ≈L180-210, ``OutputBlock``
+≈L215-240, ``SegmentationNet`` ≈L245-300, ``max_stride()`` = 16), redesigned
+for TPU:
+
+- channels-last ``[B, D, H, W, C]`` layout (XLA's preferred conv layout —
+  the channel axis rides the 128-lane dimension),
+- conv + BN + activation left to XLA fusion; bf16 compute optional via
+  ``dtype`` with f32 params and f32 BN statistics,
+- stride-2 2x2x2 convs / transposed convs for down/up sampling (MXU-tiled by
+  XLA; no pooling anywhere, matching V-Net).
+
+Architecture (encoder channels 16->256 via 4 stride-2 stages, decoder
+mirrors with skip concats; residual conv counts {1,2,3,3} / {3,3,2,1}):
+see SURVEY.md §3.3. The output block ends in a **softmax over classes** — the
+net emits probabilities, not logits, which the reference's losses and
+inference engine rely on.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+KAIMING = nn.initializers.he_normal()
+
+
+def max_stride() -> int:
+    """Total down-sampling factor; crop sizes must be divisible by this."""
+    return 16
+
+
+class ActivationFn(nn.Module):
+    """String-selected activation; 'prelu' carries a learned parameter."""
+    kind: str = "relu"
+
+    @nn.compact
+    def __call__(self, x):
+        if self.kind == "relu":
+            return nn.relu(x)
+        if self.kind == "prelu":
+            alpha = self.param("alpha", nn.initializers.constant(0.25), (1,), jnp.float32)
+            return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
+        if self.kind == "leaky_relu":
+            return nn.leaky_relu(x, 0.01)
+        raise ValueError(f"unknown activation {self.kind!r}")
+
+
+class ConvBnAct(nn.Module):
+    """3x3x3 conv + BatchNorm + activation (reference ``ConvBnRelu3``)."""
+    features: int
+    ksize: int = 3
+    act: str = "relu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (self.ksize,) * 3, padding="SAME",
+                    kernel_init=KAIMING, dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=jnp.float32, name="bn")(x)
+        return ActivationFn(self.act, name="act")(x.astype(self.dtype))
+
+
+class BottConvBnAct(nn.Module):
+    """Bottleneck conv block (reference ``BottConvBnRelu3``): 1x1x1 reduce by
+    ``ratio`` -> 3x3x3 -> 1x1x1 expand, each with BN(+act on first two)."""
+    features: int
+    ratio: int = 4
+    act: str = "relu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = max(1, self.features // self.ratio)
+        x = ConvBnAct(mid, 1, self.act, self.dtype, name="reduce")(x, train)
+        x = ConvBnAct(mid, 3, self.act, self.dtype, name="conv")(x, train)
+        x = nn.Conv(self.features, (1, 1, 1), padding="SAME", kernel_init=KAIMING,
+                    dtype=self.dtype, name="expand")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=jnp.float32, name="bn")(x)
+        return x.astype(self.dtype)
+
+
+class ResidualBlock(nn.Module):
+    """Chain of ``num_convs`` conv-BN-act with additive identity:
+    ``act(x + convs(x))`` (reference ``ResidualBlock3`` ≈L65-95)."""
+    features: int
+    num_convs: int
+    act: str = "relu"
+    bottleneck: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = x
+        if self.bottleneck:
+            for i in range(self.num_convs):
+                h = BottConvBnAct(self.features, 4, self.act, self.dtype,
+                                  name=f"conv{i}")(h, train)
+                if i + 1 < self.num_convs:
+                    h = ActivationFn(self.act, name=f"act{i}")(h)
+        else:
+            for i in range(self.num_convs):
+                h = ConvBnAct(self.features, 3, self.act, self.dtype,
+                              name=f"conv{i}")(h, train)
+        return ActivationFn(self.act, name="act_out")(x + h)
+
+
+class InputBlock(nn.Module):
+    """in_channels -> 16 stem (reference ``InputBlock`` ≈L130-145)."""
+    features: int = 16
+    act: str = "relu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return ConvBnAct(self.features, 3, self.act, self.dtype, name="conv")(x, train)
+
+
+class DownBlock(nn.Module):
+    """Stride-2 2x2x2 conv doubling channels + residual block
+    (reference ``DownBlock`` ≈L150-175)."""
+    features: int
+    num_convs: int
+    act: str = "relu"
+    bottleneck: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (2, 2, 2), strides=(2, 2, 2), padding="VALID",
+                    kernel_init=KAIMING, dtype=self.dtype, name="down_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=jnp.float32, name="down_bn")(x)
+        x = ActivationFn(self.act, name="down_act")(x.astype(self.dtype))
+        return ResidualBlock(self.features, self.num_convs, self.act,
+                             self.bottleneck, self.dtype, name="res")(x, train)
+
+
+class UpBlock(nn.Module):
+    """Stride-2 2x2x2 transposed conv halving channels + encoder-skip concat +
+    residual block (reference ``UpBlock`` ≈L180-210)."""
+    features: int  # channel count AFTER concat (== incoming channels)
+    num_convs: int
+    act: str = "relu"
+    bottleneck: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = False):
+        up = self.features // 2
+        x = nn.ConvTranspose(up, (2, 2, 2), strides=(2, 2, 2), padding="VALID",
+                             kernel_init=KAIMING, dtype=self.dtype, name="up_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=jnp.float32, name="up_bn")(x)
+        x = ActivationFn(self.act, name="up_act")(x.astype(self.dtype))
+        x = jnp.concatenate([x, skip.astype(self.dtype)], axis=-1)
+        return ResidualBlock(self.features, self.num_convs, self.act,
+                             self.bottleneck, self.dtype, name="res")(x, train)
+
+
+class OutputBlock(nn.Module):
+    """3x3x3 conv -> 1x1x1 conv -> softmax over classes (reference
+    ``OutputBlock`` ≈L215-240). Emits **probabilities** in f32."""
+    out_channels: int
+    act: str = "relu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, return_logits: bool = False):
+        x = ConvBnAct(self.out_channels, 3, self.act, self.dtype, name="conv")(x, train)
+        x = nn.Conv(self.out_channels, (1, 1, 1), padding="SAME", kernel_init=KAIMING,
+                    dtype=self.dtype, name="proj")(x)
+        x = x.astype(jnp.float32)
+        return x if return_logits else nn.softmax(x, axis=-1)
+
+
+class SegmentationNet(nn.Module):
+    """V-Net encoder-decoder (reference ``SegmentationNet`` ≈L245-300).
+
+    Input ``[B, D, H, W, in_channels]`` (channels-last), output per-class
+    probabilities ``[B, D, H, W, out_channels]`` (softmax applied). D/H/W must
+    be divisible by :func:`max_stride`.
+    """
+    in_channels: int
+    out_channels: int
+    base_channels: int = 16
+    down_convs: Sequence[int] = (1, 2, 3, 3)
+    up_convs: Sequence[int] = (3, 3, 2, 1)
+    act: str = "relu"
+    bottleneck: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, return_logits: bool = False):
+        assert x.shape[-1] == self.in_channels, (
+            f"expected {self.in_channels} input channels, got {x.shape}")
+        x = x.astype(self.dtype)
+        c = self.base_channels
+        skips = []
+        x = InputBlock(c, self.act, self.dtype, name="in_block")(x, train)
+        skips.append(x)
+        n_stages = len(self.down_convs)
+        for i, nconv in enumerate(self.down_convs):
+            c *= 2
+            x = DownBlock(c, nconv, self.act, self.bottleneck, self.dtype,
+                          name=f"down_{c}")(x, train)
+            if i + 1 < n_stages:
+                skips.append(x)
+        for nconv in self.up_convs:
+            skip = skips.pop()
+            x = UpBlock(c, nconv, self.act, self.bottleneck, self.dtype,
+                        name=f"up_{c}")(x, skip, train)
+            c //= 2
+        return OutputBlock(self.out_channels, self.act, self.dtype,
+                           name="out_block")(x, train, return_logits)
+
+    def max_stride(self) -> int:
+        return 2 ** len(self.down_convs)
+
+
+def vnet_focal_init(variables, obj_p: float = 0.01):
+    """Focal-loss bias init (reference ``vnet_focal_init`` ≈L322-335).
+
+    Sets the final 1x1x1 conv's bias so object classes start with prior
+    probability ``obj_p`` after the softmax: bias = -log((1-p)/p) for object
+    classes, 0 for background. Kaiming conv init (``vnet_kaiming_init``
+    ≈L305-320) is the module default (:data:`KAIMING`), so no separate helper
+    is needed for it.
+    """
+    import jax
+    variables = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
+    params = variables["params"]
+    bias = params["out_block"]["proj"]["bias"]
+    new_bias = jnp.full_like(bias, -jnp.log((1.0 - obj_p) / obj_p))
+    new_bias = new_bias.at[0].set(0.0)  # background class
+    params["out_block"]["proj"]["bias"] = new_bias
+    return variables
