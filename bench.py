@@ -1,0 +1,77 @@
+"""Headline benchmark: 512^3 CT sliding-window segmentation throughput.
+
+Measures the full device-side inference pipeline of BASELINE.md's north-star
+metric — fixed-spacing volume (pre-staged on device), V-Net sliding-window
+forward (96^3 patches, stride 64) with weighted overlap blending + argmax —
+and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "volumes/min/chip", "vs_baseline": N}
+
+``vs_baseline`` is measured/target against the north-star 20 volumes/min/chip
+(the reference publishes no numbers of its own — BASELINE.md).
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--patch", type=int, default=96)
+    ap.add_argument("--stride", type=int, default=64)
+    ap.add_argument("--classes", type=int, default=2)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from segmentation3d_tpu.models.vnet import SegmentationNet
+    from segmentation3d_tpu.core.infer_engine import SlidingWindowInferer
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    net = SegmentationNet(in_channels=1, out_channels=args.classes, dtype=dtype)
+    x0 = jnp.zeros((1, args.patch, args.patch, args.patch, 1), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x0, train=False)
+
+    rng = np.random.default_rng(0)
+    size = args.size
+    vol_np = rng.normal(0.0, 0.3, size=(size, size, size, 1)).astype(np.float32)
+    vol = jax.device_put(jnp.asarray(vol_np))
+
+    inferer = SlidingWindowInferer(
+        net, (args.patch,) * 3, args.classes, batch_size=args.batch,
+        blend="gaussian")
+    stride = (args.stride,) * 3
+
+    # warm-up / compile
+    seg = inferer(variables, vol, stride_zyx=stride)
+    seg.block_until_ready()
+
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        seg = inferer(variables, vol, stride_zyx=stride)
+        seg.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    sec_per_vol = min(times)
+    vols_per_min = 60.0 / sec_per_vol
+
+    n_boxes = len(inferer.boxes_for((size, size, size), stride))
+    result = {
+        "metric": f"{size}^3 CT sliding-window segmentation throughput "
+                  f"({args.patch}^3 patches, stride {args.stride}, "
+                  f"{n_boxes} patches, {args.dtype})",
+        "value": round(vols_per_min, 3),
+        "unit": "volumes/min/chip",
+        "vs_baseline": round(vols_per_min / 20.0, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

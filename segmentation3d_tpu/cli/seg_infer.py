@@ -1,0 +1,64 @@
+"""``seg_infer`` console script — argument-compatible with the reference CLI
+(``segmentation3d/seg_infer.py:main()`` ≈L1-40):
+
+    seg_infer -i <image|list.txt|list.csv|folder> -m <model_dir> -o <out_dir>
+              [-n seg.mha] [-g 0] [--save_image] [--save_prob]
+
+TPU-native extensions (all optional): ``--partition_type/--partition_size/
+--partition_stride`` to force sliding-window mode, ``--batch_size``,
+``--blend``, ``--post`` connected-component cleanup, ``--bf16``.
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+
+from segmentation3d_tpu.core.seg_infer import segmentation, DISABLE
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="3D segmentation inference")
+    parser.add_argument("-i", "--input", required=True,
+                        help="input image / .txt list / .csv / folder")
+    parser.add_argument("-m", "--model", required=True, help="model directory")
+    parser.add_argument("-o", "--output", required=True, help="output directory")
+    parser.add_argument("-n", "--seg_name", default="seg.mha",
+                        help="output segmentation file name")
+    parser.add_argument("-g", "--gpu_id", type=int, default=0,
+                        help="accepted for reference parity (ignored on TPU)")
+    parser.add_argument("--save_image", action="store_true",
+                        help="also save a copy of the input image")
+    parser.add_argument("--save_prob", action="store_true",
+                        help="also save per-class probability maps")
+    parser.add_argument("--partition_type", default=DISABLE,
+                        choices=["DISABLE", "SIZE"])
+    parser.add_argument("--partition_size", type=int, nargs=3, default=None,
+                        metavar=("X", "Y", "Z"))
+    parser.add_argument("--partition_stride", type=int, nargs=3, default=None,
+                        metavar=("X", "Y", "Z"))
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--blend", default="gaussian", choices=["gaussian", "constant"])
+    parser.add_argument("--post", default=None, choices=[None, "largest_cc"],
+                        help="connected-component post-processing")
+    parser.add_argument("--post_threshold", type=int, default=64)
+    parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    args = parser.parse_args(argv)
+
+    post = None
+    if args.post == "largest_cc":
+        post = {"type": "largest_cc"}
+
+    segmentation(
+        input_path=args.input, model_dir=args.model, output_dir=args.output,
+        seg_name=args.seg_name, gpu_id=args.gpu_id,
+        save_image=args.save_image, save_prob=args.save_prob,
+        partition_type=args.partition_type, partition_size=args.partition_size,
+        partition_stride=args.partition_stride, batch_size=args.batch_size,
+        blend=args.blend, post_processing=post,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+
+
+if __name__ == "__main__":
+    main()

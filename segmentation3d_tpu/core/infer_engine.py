@@ -1,0 +1,135 @@
+"""Sliding-window inference engine — batched patches, on-device blending.
+
+This is the TPU-native replacement for the reference's per-patch serial loop
+(``core/seg_infer.py:segmentation_one_case`` ≈L150-260), which forwarded one
+patch at a time with a host->device copy per patch and host-side pasting.
+Here the entire volume pass is ONE jitted program:
+
+- patches are gathered from the (already device-resident, normalized) volume
+  with ``dynamic_slice`` and forwarded in batches through the net;
+- per-class probabilities are blended into a full-volume accumulator with a
+  per-patch weight map (constant or Gaussian — weighted averaging subsumes
+  the reference's overlap rule, SURVEY.md C11 [M]);
+- argmax and the weight division happen on device; only the final mask
+  leaves the chip.
+
+The patch batch axis is shardable over a ``data`` mesh, so multi-chip
+inference parallelizes across patches with an ``all_gather`` of blended
+results inserted by XLA.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from segmentation3d_tpu.ops.geometry import partition_boxes
+
+
+def make_weight_map(patch_size_zyx, kind: str = "gaussian", sigma_scale: float = 0.125):
+    """Per-patch blending weights [pd,ph,pw,1]; 'constant' = plain averaging."""
+    pd, ph, pw = patch_size_zyx
+    if kind == "constant":
+        return np.ones((pd, ph, pw, 1), np.float32)
+    zz = np.linspace(-1.0, 1.0, pd)
+    yy = np.linspace(-1.0, 1.0, ph)
+    xx = np.linspace(-1.0, 1.0, pw)
+    sig = 2.0 * sigma_scale
+    gz = np.exp(-0.5 * (zz / sig) ** 2)
+    gy = np.exp(-0.5 * (yy / sig) ** 2)
+    gx = np.exp(-0.5 * (xx / sig) ** 2)
+    w = gz[:, None, None] * gy[None, :, None] * gx[None, None, :]
+    w = np.maximum(w, w.max() * 1e-3).astype(np.float32)
+    return w[..., None]
+
+
+class SlidingWindowInferer:
+    """Jitted whole-volume inference: partition -> batched forward -> blend.
+
+    One compiled program per (volume shape, #box-batches); compilations are
+    cached across cases of the same padded shape.
+    """
+
+    def __init__(self, net, patch_size_zyx, num_classes, batch_size=8,
+                 blend="gaussian", out_dtype=jnp.float32):
+        self.net = net
+        self.patch_size = tuple(int(v) for v in patch_size_zyx)
+        self.num_classes = int(num_classes)
+        self.batch_size = int(batch_size)
+        self.weight = jnp.asarray(make_weight_map(self.patch_size, blend))
+        self.out_dtype = out_dtype
+
+    def boxes_for(self, vol_shape_zyx, stride_zyx=None):
+        """Patch start coordinates (N,3) zyx for a volume shape."""
+        pd, ph, pw = self.patch_size
+        if stride_zyx is None:
+            stride_zyx = self.patch_size
+        size_xyz = np.asarray(vol_shape_zyx, np.int64)[::-1]
+        boxes_xyz = partition_boxes(size_xyz, (pw, ph, pd), np.asarray(stride_zyx)[::-1])
+        return np.ascontiguousarray(boxes_xyz[:, ::-1])  # -> zyx starts
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _run(self, variables, vol, boxes, box_mask):
+        """vol: [D,H,W,Cin]; boxes: [NB, B, 3] zyx starts; box_mask: [NB, B]."""
+        pd, ph, pw = self.patch_size
+        cin = vol.shape[-1]
+        nc = self.num_classes
+        prob = jnp.zeros(vol.shape[:3] + (nc,), self.out_dtype)
+        wsum = jnp.zeros(vol.shape[:3] + (1,), self.out_dtype)
+        weight = self.weight.astype(self.out_dtype)
+
+        def fwd(patches):
+            return self.net.apply(variables, patches, train=False)
+
+        def body(carry, inp):
+            prob, wsum = carry
+            bxs, mask = inp  # [B,3], [B]
+
+            def take(b):
+                return jax.lax.dynamic_slice(vol, (b[0], b[1], b[2], 0), (pd, ph, pw, cin))
+
+            patches = jax.vmap(take)(bxs)                      # [B,pd,ph,pw,Cin]
+            probs = fwd(patches).astype(self.out_dtype)        # [B,pd,ph,pw,NC]
+
+            def paste(carry, inp2):
+                prob, wsum = carry
+                b, p, m = inp2
+                w = weight * m
+                cur_p = jax.lax.dynamic_slice(prob, (b[0], b[1], b[2], 0), (pd, ph, pw, nc))
+                prob = jax.lax.dynamic_update_slice(prob, cur_p + p * w, (b[0], b[1], b[2], 0))
+                cur_w = jax.lax.dynamic_slice(wsum, (b[0], b[1], b[2], 0), (pd, ph, pw, 1))
+                wsum = jax.lax.dynamic_update_slice(wsum, cur_w + w, (b[0], b[1], b[2], 0))
+                return (prob, wsum), None
+
+            (prob, wsum), _ = jax.lax.scan(
+                paste, (prob, wsum), (bxs, probs, mask.astype(self.out_dtype)))
+            return (prob, wsum), None
+
+        (prob, wsum), _ = jax.lax.scan(body, (prob, wsum), (boxes, box_mask))
+        prob = prob / jnp.maximum(wsum, 1e-8)
+        mask = jnp.argmax(prob, axis=-1).astype(jnp.uint8)
+        return prob, mask
+
+    def __call__(self, variables, vol, stride_zyx=None, return_prob=False):
+        """Run sliding-window inference on a device volume [D,H,W,Cin].
+
+        Returns ``mask [D,H,W] uint8`` (+ ``prob [D,H,W,NC]`` if requested).
+        """
+        if vol.ndim == 3:
+            vol = vol[..., None]
+        boxes = self.boxes_for(vol.shape[:3], stride_zyx)
+        n = len(boxes)
+        b = min(self.batch_size, n)
+        nb = -(-n // b)
+        padded = np.zeros((nb * b, 3), np.int32)
+        padded[:n] = boxes
+        mask = np.zeros((nb * b,), np.float32)
+        mask[:n] = 1.0
+        boxes_d = jnp.asarray(padded.reshape(nb, b, 3))
+        mask_d = jnp.asarray(mask.reshape(nb, b))
+        prob, seg = self._run(variables, vol, boxes_d, mask_d)
+        if return_prob:
+            return seg, prob
+        return seg

@@ -1,0 +1,233 @@
+"""Inference entry — case discovery, model loading, per-case pipeline.
+
+Re-implements ``segmentation3d/core/seg_infer.py`` (call stack SURVEY.md
+§3.2): ``read_test_txt``/``read_test_csv``/folder scan (≈L20-70),
+``load_seg_model`` (≈L80-140, latest-``chk_*`` scan + self-describing
+checkpoint restore), and ``segmentation`` (≈L270-340): per case
+
+    read -> resample to model spacing (padded to x max_stride) -> normalize
+    -> sliding-window forward+blend (device) -> argmax -> NN-resample the
+    mask back to the native frame -> optional connected-component cleanup
+    -> write seg.mha / .nii.gz (+ optional prob maps, input copy)
+
+with per-case wall-time prints. The per-patch device loop lives in
+:mod:`segmentation3d_tpu.core.infer_engine`.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from segmentation3d_tpu.core.infer_engine import SlidingWindowInferer
+from segmentation3d_tpu.io import Volume, read_image, write_image
+from segmentation3d_tpu.models import get_network_module
+from segmentation3d_tpu.ops.components import (
+    pick_largest_connected_component, remove_small_connected_component,
+)
+from segmentation3d_tpu.ops.resample import resample_spacing, resample_to_frame, NN
+from segmentation3d_tpu.utils import model_io
+from segmentation3d_tpu.utils.normalizer import normalizer_from_dict
+
+IMAGE_EXTS = (".nii.gz", ".nii", ".mha", ".mhd")
+
+DISABLE, SIZE, NUM = "DISABLE", "SIZE", "NUM"
+
+
+def read_test_txt(path):
+    """txt: line0 = case count, then per case one or more image paths."""
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    num_cases = int(lines[0])
+    body = lines[1:]
+    per_case = len(body) // num_cases
+    return [body[i * per_case:(i + 1) * per_case] for i in range(num_cases)]
+
+
+def read_test_csv(path):
+    import csv as _csv
+    cases = []
+    with open(path, newline="") as f:
+        reader = _csv.reader(f)
+        next(reader)  # header
+        for row in reader:
+            row = [c.strip() for c in row if c.strip()]
+            if row:
+                cases.append(row)
+    return cases
+
+
+def find_cases(input_path):
+    """Dispatch single image / .txt list / .csv / folder like the reference CLI."""
+    if os.path.isdir(input_path):
+        files = sorted(
+            os.path.join(input_path, f) for f in os.listdir(input_path)
+            if f.lower().endswith(IMAGE_EXTS))
+        return [[f] for f in files]
+    if input_path.endswith(".txt"):
+        return read_test_txt(input_path)
+    if input_path.endswith(".csv"):
+        return read_test_csv(input_path)
+    return [[input_path]]
+
+
+class SegModel:
+    """A loaded, inference-ready model (net + variables + preprocessing spec)."""
+
+    def __init__(self, net, variables, spacing, max_stride, interpolation,
+                 normalizers, in_channels, out_channels, net_name, epoch_idx):
+        self.net = net
+        self.variables = variables
+        self.spacing = spacing
+        self.max_stride = max_stride
+        self.interpolation = interpolation
+        self.normalizers = normalizers
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.net_name = net_name
+        self.epoch_idx = epoch_idx
+
+
+def load_seg_model(model_dir: str, dtype=jnp.float32) -> SegModel:
+    """Scan ``<model_dir>/checkpoints/chk_*`` for the latest epoch and restore
+    everything from the self-describing ``params.pth``."""
+    chk = model_io.latest_checkpoint(model_dir)
+    variables, payload = model_io.load_checkpoint(chk)
+    import jax
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    net_mod = get_network_module(payload["net"])
+    net_kwargs = payload.get("net_kwargs") or {}
+    net_kwargs.pop("dtype", None)
+    net = net_mod.SegmentationNet(
+        in_channels=int(payload["in_channels"]),
+        out_channels=int(payload["out_channels"]),
+        dtype=dtype,
+        **net_kwargs,
+    )
+    normalizers = [normalizer_from_dict(d) for d in payload["crop_normalizers"]]
+    return SegModel(
+        net=net, variables=variables,
+        spacing=[float(s) for s in payload["spacing"]],
+        max_stride=int(payload["max_stride"]),
+        interpolation=payload.get("interpolation", "LINEAR"),
+        normalizers=normalizers,
+        in_channels=int(payload["in_channels"]),
+        out_channels=int(payload["out_channels"]),
+        net_name=payload["net"],
+        epoch_idx=int(payload.get("epoch_idx", -1)),
+    )
+
+
+def segmentation_one_case(model: SegModel, image_paths, inferer: SlidingWindowInferer,
+                          stride_zyx=None, save_prob=False, post_processing=None,
+                          fill_value: float = 0.0):
+    """Segment one (possibly multi-modality) case. Returns (mask Volume,
+    prob arrays or None, native Volume, seconds)."""
+    t0 = time.time()
+    vols = [read_image(p, dtype=np.float32) for p in image_paths]
+    native = vols[0]
+    assert len(vols) == model.in_channels, (
+        f"model expects {model.in_channels} modalities, got {len(vols)}")
+
+    # resample each modality to model spacing (pad to x max_stride) + normalize
+    channels = []
+    iso_frame = None
+    for mi, v in enumerate(vols):
+        iso, iso_frame, iso_size = resample_spacing(
+            v.data, v.frame, model.spacing, pad_to_multiple=model.max_stride,
+            interp=model.interpolation, fill=fill_value)
+        if model.normalizers[mi] is not None:
+            iso = model.normalizers[mi](iso)
+        channels.append(iso)
+    vol = jnp.stack(channels, axis=-1)  # [D,H,W,C]
+
+    seg_iso, prob = inferer(model.variables, vol, stride_zyx=stride_zyx,
+                            return_prob=True)
+
+    # resample mask back to the native input frame (NN)
+    mask_native = resample_to_frame(
+        seg_iso.astype(jnp.int32), iso_frame, native.frame,
+        native.size_xyz, interp=NN)
+    mask_np = np.asarray(mask_native).astype(np.uint8)
+
+    if post_processing:
+        kind = post_processing.get("type")
+        if kind == "largest_cc":
+            mask_np = pick_largest_connected_component(mask_np)
+        elif kind == "remove_small_cc":
+            mask_np = remove_small_connected_component(
+                mask_np, int(post_processing.get("threshold", 64)))
+
+    prob_out = None
+    if save_prob:
+        prob_out = [(c, np.asarray(resample_to_frame(
+            prob[..., c], iso_frame, native.frame, native.size_xyz)))
+            for c in range(model.out_channels)]
+    return Volume(mask_np, native.frame), prob_out, native, time.time() - t0
+
+
+def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
+                 gpu_id=0, save_image=False, save_prob=False,
+                 partition_type=DISABLE, partition_size=None, partition_stride=None,
+                 batch_size=8, blend="gaussian", post_processing=None,
+                 dtype=jnp.float32):
+    """Segment all cases found at ``input_path`` — the reference's public
+    entry (``core/seg_infer.py:segmentation`` ≈L270-340).
+
+    ``gpu_id`` is accepted for CLI parity; device selection on TPU is
+    managed by JAX. ``partition_type``: DISABLE (whole volume), SIZE
+    (fixed ``partition_size``/``partition_stride`` boxes), NUM.
+    """
+    del gpu_id
+    model = load_seg_model(model_dir, dtype=dtype)
+    cases = find_cases(input_path)
+    os.makedirs(output_dir, exist_ok=True)
+
+    inferers = {}
+    results = []
+    for image_paths in cases:
+        case_name = os.path.basename(image_paths[0])
+        for suf in IMAGE_EXTS:
+            if case_name.endswith(suf):
+                case_name = case_name[: -len(suf)]
+                break
+
+        if partition_type == DISABLE:
+            # whole padded volume as a single patch: read shape first
+            v0 = read_image(image_paths[0])
+            from segmentation3d_tpu.ops.geometry import resampled_frame
+            _, iso_size = resampled_frame(
+                v0.frame, v0.size_xyz, model.spacing, model.max_stride)
+            patch = tuple(int(s) for s in iso_size[::-1])
+            stride = patch
+        elif partition_type == SIZE:
+            patch = tuple(int(v) for v in np.asarray(partition_size)[::-1])
+            stride = tuple(int(v) for v in np.asarray(partition_stride)[::-1]) \
+                if partition_stride is not None else patch
+        else:
+            raise NotImplementedError(f"partition_type {partition_type}")
+
+        key = (patch, stride)
+        if key not in inferers:
+            inferers[key] = SlidingWindowInferer(
+                model.net, patch, model.out_channels,
+                batch_size=batch_size, blend=blend if stride != patch else "constant")
+        inferer = inferers[key]
+
+        mask_vol, prob_out, native, secs = segmentation_one_case(
+            model, image_paths, inferer, stride_zyx=stride,
+            save_prob=save_prob, post_processing=post_processing)
+
+        case_dir = os.path.join(output_dir, case_name)
+        write_image(mask_vol, os.path.join(case_dir, seg_name))
+        if save_image:
+            write_image(native, os.path.join(case_dir, "org.mha"))
+        if prob_out:
+            for c, p in prob_out:
+                write_image(Volume(p, native.frame),
+                            os.path.join(case_dir, f"prob_{c}.mha"))
+        print(f"segmentation of {case_name}: {secs:.2f} s")
+        results.append((case_name, secs))
+    return results

@@ -1,0 +1,232 @@
+"""Training loop — jitted SPMD train step over a device mesh.
+
+Re-implements ``segmentation3d/core/seg_train.py:train(config_file)``
+(≈L20-190; call stack SURVEY.md §3.1) with the reference's observable
+behavior — save-dir lifecycle, seeding, importlib net lookup by
+``cfg.net.name``, ``crop_size % max_stride == 0`` assertion, Adam(lr, betas),
+loss selection by ``cfg.loss.name``, per-batch ``epoch/batch/loss/time`` log
+lines + ``train_loss.csv``, checkpoint save every ``save_epochs`` epochs,
+``epoch_idx = batch_idx * batchsize // len(dataset)``, optional debug dump of
+input crops, resume from ``cfg.general.resume_epoch`` — but TPU-native
+execution:
+
+- ONE jitted ``train_step`` (fwd + loss + grad + Adam update + BN stats),
+  donated buffers, batch sharded over a ``data`` mesh, params replicated;
+  XLA inserts the gradient ``psum`` (replacing ``nn.DataParallel``);
+- the data pipeline crops/normalizes on device (see ``dataloader.dataset``).
+"""
+from __future__ import annotations
+
+import functools
+import os
+import shutil
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from segmentation3d_tpu.config import load_config
+from segmentation3d_tpu.dataloader import SegmentationDataset, EpochConcateSampler
+from segmentation3d_tpu.losses import create_loss
+from segmentation3d_tpu.models import get_network_module
+from segmentation3d_tpu.models.vnet import vnet_focal_init
+from segmentation3d_tpu.parallel import make_mesh, shard_batch, replicate
+from segmentation3d_tpu.utils import model_io
+from segmentation3d_tpu.utils.file_io import setup_logger
+
+
+def _prepare_save_dir(save_dir: str, resume: bool, logger=None):
+    """Reference behavior: a fresh (non-resume) run wipes the save dir."""
+    if os.path.isdir(save_dir) and not resume:
+        entries = set(os.listdir(save_dir))
+        known = {"checkpoints", "train_log.txt", "train_loss.csv", "debug"}
+        if entries and not entries <= known:
+            raise RuntimeError(
+                f"refusing to wipe {save_dir}: contains non-checkpoint entries "
+                f"{sorted(entries - known)}; remove it manually or resume")
+        shutil.rmtree(save_dir)
+    os.makedirs(save_dir, exist_ok=True)
+
+
+def make_train_step(net, loss_fn, optimizer):
+    """Build the jitted SPMD train step (donated params/opt/batch-stats)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, batch_stats, opt_state, images, segs):
+        def loss_of(p):
+            probs, mutated = net.apply(
+                {"params": p, "batch_stats": batch_stats}, images,
+                train=True, mutable=["batch_stats"])
+            return loss_fn(probs, segs), mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_stats, new_opt, loss
+
+    return train_step
+
+
+def train(config_file: str):
+    cfg = load_config(config_file)
+
+    save_dir = cfg.general.save_dir
+    resume_epoch = int(cfg.general.resume_epoch)
+    resume = resume_epoch >= 0
+    _prepare_save_dir(save_dir, resume)
+    logger = setup_logger(os.path.join(save_dir, "train_log.txt"))
+
+    seed = int(cfg.general.seed)
+    rng = jax.random.PRNGKey(seed)
+    np.random.seed(seed)
+
+    dataset = SegmentationDataset(
+        imseg_list=cfg.general.imseg_list,
+        num_classes=cfg.dataset.num_classes,
+        spacing=cfg.dataset.spacing,
+        crop_size=cfg.dataset.crop_size,
+        sampling_method=cfg.dataset.sampling_method,
+        random_translation=cfg.dataset.random_translation,
+        interpolation=cfg.dataset.interpolation,
+        crop_normalizers=cfg.dataset.crop_normalizers,
+        random_flip=bool(cfg.dataset.get("random_flip", False)),
+        seed=seed,
+    )
+    batchsize = int(cfg.train.batchsize)
+    epochs = int(cfg.train.epochs)
+    sampler = EpochConcateSampler(len(dataset), epochs, seed=seed)
+
+    net_mod = get_network_module(cfg.net.name)
+    max_stride = net_mod.max_stride()
+    crop_size = np.asarray(cfg.dataset.crop_size, np.int64)
+    assert np.all(crop_size % max_stride == 0), (
+        f"crop_size {crop_size.tolist()} must be divisible by max_stride {max_stride}")
+
+    dtype = jnp.bfloat16 if cfg.get("tpu", {}).get("dtype", "float32") == "bfloat16" \
+        else jnp.float32
+    # optional architecture hyper-params from cfg.net (recorded in checkpoints
+    # so inference rebuilds the exact same net)
+    net_kwargs = {k: cfg.net[k] for k in
+                  ("base_channels", "act", "bottleneck", "down_convs", "up_convs")
+                  if k in cfg.net}
+    net = net_mod.SegmentationNet(
+        in_channels=dataset.num_modality,
+        out_channels=int(cfg.dataset.num_classes),
+        dtype=dtype,
+        **net_kwargs,
+    )
+
+    # init params on the example crop shape ([B,D,H,W,C], zyx order of crop)
+    example = jnp.zeros((1, int(crop_size[2]), int(crop_size[1]), int(crop_size[0]),
+                         dataset.num_modality), jnp.float32)
+    variables = net.init(rng, example, train=False)
+    if cfg.loss.name == "Focal":
+        variables = vnet_focal_init(variables, obj_p=0.01)
+
+    optimizer = optax.adam(float(cfg.train.lr),
+                           b1=float(cfg.train.betas[0]), b2=float(cfg.train.betas[1]))
+    opt_state = optimizer.init(variables["params"])
+
+    start_batch_idx = 0
+    if resume:
+        chk = model_io.checkpoint_dir(save_dir, resume_epoch)
+        variables, payload = model_io.load_checkpoint(chk)
+        variables = jax.tree_util.tree_map(jnp.asarray, variables)
+        saved_opt = model_io.load_opt_state(chk)
+        if saved_opt is not None:
+            opt_state = jax.tree_util.tree_map(jnp.asarray, saved_opt)
+        start_batch_idx = int(payload.get("batch_idx", 0)) + 1
+        logger.info(f"resumed from {chk} (epoch {resume_epoch})")
+
+    # mesh: cfg.tpu.mesh.data wins if set; else cfg.general.num_gpus maps onto
+    # the data-parallel mesh size (reference configs scale unmodified)
+    mesh_size = int(cfg.get("tpu", {}).get("mesh", {}).get("data", 0)) \
+        or int(cfg.general.get("num_gpus", -1) or -1)
+    mesh = make_mesh(mesh_size)
+    n_dev = mesh.devices.size
+    if batchsize % n_dev != 0 and n_dev > 1:
+        raise ValueError(f"batchsize {batchsize} must divide over {n_dev} devices")
+    params = replicate(variables["params"], mesh)
+    batch_stats = replicate(variables["batch_stats"], mesh)
+    loss_fn = create_loss(cfg.loss, int(cfg.dataset.num_classes))
+    opt_state = replicate(opt_state, mesh)
+    train_step = make_train_step(net, loss_fn, optimizer)
+
+    loss_csv = os.path.join(save_dir, "train_loss.csv")
+    if not os.path.isfile(loss_csv):
+        with open(loss_csv, "w") as f:
+            f.write("epoch,batch,loss\n")
+
+    def save(epoch_idx, batch_idx):
+        variables_now = {
+            "params": jax.device_get(params),
+            "batch_stats": jax.device_get(batch_stats),
+        }
+        model_io.save_checkpoint(
+            save_dir, epoch_idx, batch_idx, variables_now,
+            net_name=cfg.net.name, max_stride=max_stride,
+            in_channels=dataset.num_modality,
+            out_channels=int(cfg.dataset.num_classes),
+            spacing=cfg.dataset.spacing,
+            interpolation=cfg.dataset.interpolation,
+            crop_normalizers=cfg.dataset.crop_normalizers,
+            config_file=config_file,
+            opt_state=jax.device_get(opt_state),
+            extra={"net_kwargs": dict(net_kwargs)} if net_kwargs else None,
+        )
+        logger.info(f"saved checkpoint chk_{epoch_idx}")
+
+    save_epochs = int(cfg.train.save_epochs)
+    dataset_len = len(dataset)
+    indices = iter(sampler)
+    last_saved_epoch = resume_epoch if resume else -1
+    prev_epoch = (start_batch_idx * batchsize) // dataset_len if resume else 0
+
+    batch_idx = start_batch_idx
+    total_batches = (dataset_len * epochs) // batchsize
+    logger.info(f"training: {dataset_len} cases, {epochs} epochs, batch {batchsize}, "
+                f"{n_dev} device(s), net {cfg.net.name}, loss {cfg.loss.name}")
+    while batch_idx < total_batches:
+        t0 = time.time()
+        try:
+            batch_indices = [next(indices) for _ in range(batchsize)]
+        except StopIteration:
+            break
+        images, segs, frames, names = dataset.batch(batch_indices)
+        images, segs = shard_batch((images, segs), mesh)
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state, images, segs)
+        loss_val = float(loss)
+        dt = time.time() - t0
+
+        epoch_idx = (batch_idx * batchsize) // dataset_len
+        logger.info(f"epoch: {epoch_idx}, batch: {batch_idx}, "
+                    f"train loss: {loss_val:.4f}, time: {dt:.4f} s")
+        with open(loss_csv, "a") as f:
+            f.write(f"{epoch_idx},{batch_idx},{loss_val}\n")
+
+        if cfg.debug.get("save_inputs", False):
+            from segmentation3d_tpu.io import Volume, write_image
+            dbg = os.path.join(save_dir, "debug")
+            for b, (frame, name) in enumerate(zip(frames, names)):
+                img_np = np.asarray(images[b])
+                for c in range(img_np.shape[-1]):
+                    write_image(Volume(img_np[..., c], frame),
+                                os.path.join(dbg, f"batch{batch_idx}_{name}_mod{c}.nii.gz"))
+                write_image(Volume(np.asarray(segs[b]).astype(np.uint8), frame),
+                            os.path.join(dbg, f"batch{batch_idx}_{name}_seg.nii.gz"))
+
+        if epoch_idx != prev_epoch and epoch_idx % save_epochs == 0 \
+                and epoch_idx != last_saved_epoch:
+            save(epoch_idx, batch_idx)
+            last_saved_epoch = epoch_idx
+        prev_epoch = epoch_idx
+        batch_idx += 1
+
+    final_epoch = (batch_idx * batchsize) // dataset_len
+    if final_epoch != last_saved_epoch:
+        save(final_epoch, max(batch_idx - 1, 0))
+    logger.info("training finished")
+    return save_dir

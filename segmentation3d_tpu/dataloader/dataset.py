@@ -1,0 +1,179 @@
+"""Patch-sampling dataset — device-side crop/normalize/augment pipeline.
+
+Re-implements ``segmentation3d/dataloader/dataset.py`` (case-list readers
+``read_train_txt``/``read_train_csv`` ≈L10-45 and ``SegmentationDataset``
+≈L50-200) with a TPU-first split of responsibilities:
+
+- the **host** only does file -> numpy array (volumes are cached in RAM) and
+  picks crop centers (GLOBAL / MASK / CENTER / MIX sampling + world-space
+  ``random_translation`` jitter, exactly the reference's per-item logic);
+- the **device** does the hot work the reference burned DataLoader workers
+  on: fixed-spacing trilinear/NN crop-resample, per-modality normalization
+  and (optional) axis-flip augmentation, all jitted XLA ops
+  (:mod:`segmentation3d_tpu.ops.resample`).
+
+Behavioral contracts kept from the reference (SURVEY.md §3.5): crops are
+taken at fixed world spacing regardless of native spacing; seg crops use NN
+interpolation; normalizers are per-modality; each item returns
+``(image[D,H,W,C], seg[D,H,W], frame, name)``.
+"""
+from __future__ import annotations
+
+import csv as _csv
+import os
+
+import numpy as np
+
+from segmentation3d_tpu.io import read_image
+from segmentation3d_tpu.ops.geometry import Frame
+from segmentation3d_tpu.ops.resample import crop_at_world_center, LINEAR, NN
+
+GLOBAL, MASK, CENTER, MIX = "GLOBAL", "MASK", "CENTER", "MIX"
+
+
+def read_train_txt(path):
+    """txt format: line 0 = case count; then per case ``num_modality`` image
+    paths followed by one segmentation path (one path per line)."""
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    num_cases = int(lines[0])
+    body = lines[1:]
+    if len(body) % num_cases != 0:
+        raise ValueError(f"{path}: {len(body)} paths not divisible by {num_cases} cases")
+    per_case = len(body) // num_cases
+    num_modality = per_case - 1
+    ims, segs = [], []
+    for i in range(num_cases):
+        chunk = body[i * per_case:(i + 1) * per_case]
+        ims.append(chunk[:num_modality])
+        segs.append(chunk[num_modality])
+    return ims, segs
+
+
+def read_train_csv(path):
+    """csv format: header ``image_path,segmentation_path`` (multi-modality:
+    several image columns, segmentation last)."""
+    ims, segs = [], []
+    with open(path, newline="") as f:
+        reader = _csv.reader(f)
+        header = next(reader)
+        for row in reader:
+            row = [c.strip() for c in row if c.strip()]
+            if not row:
+                continue
+            ims.append(row[:-1])
+            segs.append(row[-1])
+    return ims, segs
+
+
+class _Case:
+    """Lazy-loaded, RAM-cached case: modality volumes + seg + sampling aux."""
+
+    __slots__ = ("im_paths", "seg_path", "images", "seg", "fg_indices", "name")
+
+    def __init__(self, im_paths, seg_path):
+        self.im_paths = list(im_paths)
+        self.seg_path = seg_path
+        self.images = None
+        self.seg = None
+        self.fg_indices = None
+        base = os.path.basename(im_paths[0])
+        for suf in (".nii.gz", ".nii", ".mha", ".mhd"):
+            if base.endswith(suf):
+                base = base[: -len(suf)]
+                break
+        self.name = os.path.basename(os.path.dirname(im_paths[0])) or base
+
+    def load(self):
+        if self.images is None:
+            self.images = [read_image(p, dtype=np.float32) for p in self.im_paths]
+            self.seg = read_image(self.seg_path)
+            if not np.issubdtype(self.seg.data.dtype, np.integer):
+                self.seg.data = np.rint(self.seg.data).astype(np.int32)
+            fg = np.nonzero(self.seg.data > 0)
+            self.fg_indices = np.stack(fg, axis=-1) if fg[0].size else None
+        return self
+
+
+class SegmentationDataset:
+    """Reference-parity patch sampler with device-side cropping."""
+
+    def __init__(self, imseg_list, num_classes, spacing, crop_size,
+                 sampling_method=CENTER, random_translation=(0, 0, 0),
+                 interpolation=LINEAR, crop_normalizers=None,
+                 random_flip=False, seed=0):
+        if isinstance(imseg_list, str):
+            if imseg_list.endswith(".csv"):
+                ims, segs = read_train_csv(imseg_list)
+            else:
+                ims, segs = read_train_txt(imseg_list)
+        else:
+            ims, segs = imseg_list
+        self.cases = [_Case(i, s) for i, s in zip(ims, segs)]
+        self.num_classes = int(num_classes)
+        self.spacing = np.asarray(spacing, np.float64)
+        self.crop_size = np.asarray(crop_size, np.int64)
+        assert sampling_method in (GLOBAL, MASK, CENTER, MIX), sampling_method
+        self.sampling_method = sampling_method
+        self.random_translation = np.asarray(random_translation, np.float64)
+        self.interpolation = interpolation
+        self.crop_normalizers = crop_normalizers
+        self.random_flip = bool(random_flip)
+        self.rng = np.random.default_rng(seed)
+        self.num_modality = len(ims[0]) if ims else 1
+
+    def __len__(self):
+        return len(self.cases)
+
+    # ---- center selection (host, cheap) ------------------------------------
+    def _select_center_world(self, case: _Case) -> np.ndarray:
+        im = case.images[0]
+        method = self.sampling_method
+        if method == MIX:
+            method = MASK if self.rng.random() < 0.5 else GLOBAL
+        if method == CENTER:
+            center = im.frame.voxel_center_world(im.size_xyz)
+        elif method == MASK and case.fg_indices is not None:
+            zyx = case.fg_indices[self.rng.integers(len(case.fg_indices))]
+            center = case.seg.frame.index_to_world(zyx[::-1])
+        else:  # GLOBAL (also MASK fallback on empty segmentation)
+            idx = self.rng.uniform(0, im.size_xyz - 1)
+            center = im.frame.index_to_world(idx)
+        jitter = self.rng.uniform(-self.random_translation, self.random_translation)
+        return np.asarray(center, np.float64) + jitter
+
+    # ---- item assembly (device crops) --------------------------------------
+    def __getitem__(self, idx: int):
+        import jax.numpy as jnp
+
+        case = self.cases[idx].load()
+        center = self._select_center_world(case)
+        crops = []
+        crop_frame = None
+        for mi, im in enumerate(case.images):
+            crop, crop_frame = crop_at_world_center(
+                im.data, im.frame, center, self.crop_size, self.spacing,
+                interp=self.interpolation)
+            if self.crop_normalizers is not None and self.crop_normalizers[mi] is not None:
+                crop = self.crop_normalizers[mi](crop)
+            crops.append(crop)
+        image = jnp.stack(crops, axis=-1)  # [D,H,W,C]
+        seg, _ = crop_at_world_center(
+            case.seg.data.astype(np.int32), case.seg.frame, center,
+            self.crop_size, self.spacing, interp=NN)
+        seg = jnp.clip(seg, 0, self.num_classes - 1)
+        if self.random_flip:
+            # axis flips are label-preserving for symmetric crop grids
+            for ax in range(3):
+                if self.rng.random() < 0.5:
+                    image = jnp.flip(image, axis=ax)
+                    seg = jnp.flip(seg, axis=ax)
+        return image, seg, crop_frame, case.name
+
+    def batch(self, indices):
+        """Assemble a batch -> (images [B,D,H,W,C], segs [B,D,H,W], frames, names)."""
+        import jax.numpy as jnp
+        items = [self[i] for i in indices]
+        images = jnp.stack([it[0] for it in items])
+        segs = jnp.stack([it[1] for it in items])
+        return images, segs, [it[2] for it in items], [it[3] for it in items]

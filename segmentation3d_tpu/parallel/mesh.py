@@ -1,0 +1,47 @@
+"""Device mesh + sharding helpers.
+
+The reference's only parallelism is single-process ``nn.DataParallel``
+(``core/seg_train.py`` ≈L95, driven by ``cfg.general.num_gpus`` — SURVEY.md
+P1/P2). The TPU-native replacement is first-class SPMD: a 1-D ``data`` mesh
+over ICI, params replicated, batch sharded, gradient ``psum`` inserted by XLA
+under ``jit``. The same mesh batches sliding-window patches across chips at
+inference. ``cfg.general.num_gpus`` maps onto the mesh size (``-1``/0 = all
+local devices), so reference configs scale unmodified.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: int = -1, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` local devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is None or num_devices <= 0:
+        num_devices = len(devices)
+    num_devices = min(num_devices, len(devices))
+    return Mesh(np.asarray(devices[:num_devices]), ("data",))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-axis sharding: leading dim split over the ``data`` axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully-replicated placement of a pytree over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Place batch arrays with their leading axis sharded over ``data``."""
+    sharding = data_sharding(mesh)
+    return jax.device_put(tree, sharding)
+
+
+def pad_batch_to_devices(n: int, num_devices: int) -> int:
+    """Smallest multiple of num_devices >= n (batch must divide evenly)."""
+    return -(-n // num_devices) * num_devices

@@ -160,8 +160,15 @@ def save_checkpoint(save_dir: str, epoch_idx: int, batch_idx: int, variables,
     }
     if extra:
         payload.update(extra)
-    with open(os.path.join(chk, "params.pth"), "wb") as f:
-        pickle.dump(payload, f, protocol=4)
+    params_path = os.path.join(chk, "params.pth")
+    try:
+        # torch.save produces a file that reference-toolkit users can
+        # torch.load directly (tensors stay numpy; that unpickles fine).
+        import torch
+        torch.save(payload, params_path)
+    except ImportError:
+        with open(params_path, "wb") as f:
+            pickle.dump(payload, f, protocol=4)
     if opt_state is not None:
         with open(os.path.join(chk, "opt_state.pkl"), "wb") as f:
             pickle.dump(opt_state, f, protocol=4)

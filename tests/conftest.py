@@ -7,10 +7,18 @@ Set ``SEG3D_TEST_TPU=1`` to run the suite on the real TPU instead.
 import os
 
 if os.environ.get("SEG3D_TEST_TPU", "0") != "1":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"  # override a pre-set axon/tpu platform
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # a sitecustomize may have imported+configured jax already (axon PJRT
+    # boot); the env vars above are then too late — override at config level.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass  # backend already initialized; XLA_FLAGS path applies instead
 
 # Persistent compilation cache: V-Net graphs recompile identically across test
 # runs; caching them cuts suite time dramatically on the single host core.

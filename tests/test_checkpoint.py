@@ -1,0 +1,100 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from segmentation3d_tpu.models.vnet import SegmentationNet
+from segmentation3d_tpu.utils import model_io
+from segmentation3d_tpu.utils.normalizer import FixedNormalizer, AdaptiveNormalizer
+
+
+@pytest.fixture(scope="module")
+def net_and_vars():
+    net = SegmentationNet(in_channels=2, out_channels=3, base_channels=4)
+    x = jnp.zeros((1, 16, 16, 16, 2))
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+    return net, variables, x
+
+
+def test_flatten_roundtrip(net_and_vars):
+    net, variables, x = net_and_vars
+    state, layouts = model_io.flatten_variables(variables)
+    # torch-style names and layouts
+    assert any(k.endswith(".running_mean") for k in state)
+    conv_keys = [k for k, l in layouts.items() if l == "conv"]
+    assert conv_keys
+    w = state[conv_keys[0]]
+    assert w.ndim == 5  # [O, I, kD, kH, kW]
+    back = model_io.unflatten_state_dict(state, layouts)
+    orig_out = net.apply(variables, x, train=False)
+    back = jax.tree_util.tree_map(jnp.asarray, back)
+    new_out = net.apply(back, x, train=False)
+    np.testing.assert_allclose(np.asarray(orig_out), np.asarray(new_out), atol=1e-6)
+
+
+def test_save_load_checkpoint(tmp_path, net_and_vars):
+    net, variables, x = net_and_vars
+    save_dir = str(tmp_path / "run")
+    chk = model_io.save_checkpoint(
+        save_dir, epoch_idx=7, batch_idx=123, variables=variables,
+        net_name="vnet", max_stride=16, in_channels=2, out_channels=3,
+        spacing=[1.0, 1.0, 2.0], interpolation="LINEAR",
+        crop_normalizers=[FixedNormalizer(0, 1), AdaptiveNormalizer()])
+    assert chk.endswith("chk_7")
+    loaded, payload = model_io.load_checkpoint(chk)
+    assert payload["epoch_idx"] == 7 and payload["batch_idx"] == 123
+    assert payload["net"] == "vnet" and payload["max_stride"] == 16
+    assert payload["spacing"] == [1.0, 1.0, 2.0]
+    assert payload["in_channels"] == 2 and payload["out_channels"] == 3
+    assert len(payload["crop_normalizers"]) == 2
+    loaded = jax.tree_util.tree_map(jnp.asarray, loaded)
+    np.testing.assert_allclose(
+        np.asarray(net.apply(loaded, x, train=False)),
+        np.asarray(net.apply(variables, x, train=False)), atol=1e-6)
+
+
+def test_latest_checkpoint_scan(tmp_path, net_and_vars):
+    _, variables, _ = net_and_vars
+    save_dir = str(tmp_path / "run2")
+    for e in (0, 10, 5):
+        model_io.save_checkpoint(save_dir, e, e, variables, "vnet", 16, 2, 3,
+                                 [1, 1, 1], "LINEAR", [])
+    assert model_io.latest_checkpoint(save_dir).endswith("chk_10")
+    with pytest.raises(FileNotFoundError):
+        model_io.latest_checkpoint(str(tmp_path / "nope"))
+
+
+def test_torch_can_read_checkpoint(tmp_path, net_and_vars):
+    """The .pth payload must be loadable by torch.load (interop contract)."""
+    import torch
+    _, variables, _ = net_and_vars
+    save_dir = str(tmp_path / "run3")
+    chk = model_io.save_checkpoint(save_dir, 0, 0, variables, "vnet", 16, 2, 3,
+                                   [1, 1, 1], "LINEAR", [FixedNormalizer(0, 1)])
+    payload = torch.load(f"{chk}/params.pth", map_location="cpu", weights_only=False)
+    assert payload["net"] == "vnet"
+    sd = payload["state_dict"]
+    assert all(isinstance(v, np.ndarray) for v in sd.values())
+
+
+def test_torch_saved_checkpoint_loads(tmp_path, net_and_vars):
+    """A checkpoint written by torch.save (reference-style) loads back."""
+    import torch
+    net, variables, x = net_and_vars
+    state, layouts = model_io.flatten_variables(variables)
+    payload = {
+        "epoch_idx": 3, "batch_idx": 9, "net": "vnet", "max_stride": 16,
+        "state_dict": {k: torch.tensor(v) for k, v in state.items()},
+        "_kernel_layouts": layouts,
+        "spacing": [1.0, 1.0, 1.0], "interpolation": "LINEAR",
+        "in_channels": 2, "out_channels": 3, "crop_normalizers": [],
+    }
+    chk = tmp_path / "tref" / "checkpoints" / "chk_3"
+    chk.mkdir(parents=True)
+    torch.save(payload, str(chk / "params.pth"))
+    loaded, meta = model_io.load_checkpoint(str(chk))
+    assert meta["epoch_idx"] == 3
+    loaded = jax.tree_util.tree_map(jnp.asarray, loaded)
+    np.testing.assert_allclose(
+        np.asarray(net.apply(loaded, x, train=False)),
+        np.asarray(net.apply(variables, x, train=False)), atol=1e-6)

@@ -1,0 +1,131 @@
+"""End-to-end CLI tests on sphere phantoms (SURVEY.md §4 integration tier):
+train a tiny V-Net -> checkpoint -> resume -> infer -> Dice, all through the
+public seg_train/seg_infer surfaces.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from phantoms import make_sphere_case, make_train_list, write_train_config
+
+
+def _dice(a, b):
+    a, b = a > 0, b > 0
+    inter = np.logical_and(a, b).sum()
+    return 2.0 * inter / max(a.sum() + b.sum(), 1)
+
+
+@pytest.fixture(scope="module")
+def trained_model(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    data = root / "data"
+    cases = [make_sphere_case(str(data), f"case{i}", shape_zyx=(32, 32, 32), seed=i)
+             for i in range(3)]
+    lst = make_train_list(str(root / "train.txt"), cases)
+    save_dir = str(root / "model")
+    cfg_path = write_train_config(
+        str(root / "config.py"), lst, save_dir,
+        crop_size=(32, 32, 32), epochs=40, batchsize=2, lr=3e-3,
+        save_epochs=20, sampling_method="CENTER",
+        extra="__C.net.base_channels = 4\n")
+    from segmentation3d_tpu.core.seg_train import train
+    train(cfg_path)
+    return root, cases, save_dir, cfg_path
+
+
+def test_training_artifacts(trained_model):
+    root, cases, save_dir, _ = trained_model
+    assert os.path.isfile(os.path.join(save_dir, "train_log.txt"))
+    csv = os.path.join(save_dir, "train_loss.csv")
+    assert os.path.isfile(csv)
+    rows = open(csv).read().strip().splitlines()
+    assert rows[0] == "epoch,batch,loss"
+    assert len(rows) > 10
+    # loss decreased
+    first = float(rows[1].split(",")[2])
+    last = float(rows[-1].split(",")[2])
+    assert last < first
+    chks = os.listdir(os.path.join(save_dir, "checkpoints"))
+    assert any(c.startswith("chk_") for c in chks)
+    # config copy placed next to params.pth
+    some_chk = os.path.join(save_dir, "checkpoints", sorted(chks)[-1])
+    assert "config.py" in os.listdir(some_chk)
+
+
+def test_overfit_dice(trained_model):
+    """Tiny V-Net overfit on phantoms: training-case inference Dice >= 0.9."""
+    root, cases, save_dir, _ = trained_model
+    from segmentation3d_tpu.core.seg_infer import segmentation
+    from segmentation3d_tpu.io import read_image
+    out_dir = str(root / "out")
+    img_path = cases[0][0][0]
+    seg_path = cases[0][1]
+    results = segmentation(img_path, save_dir, out_dir, seg_name="seg.nii.gz",
+                           batch_size=1)
+    assert len(results) == 1
+    name = results[0][0]
+    pred = read_image(os.path.join(out_dir, name, "seg.nii.gz"))
+    truth = read_image(seg_path)
+    d = _dice(pred.data, truth.data)
+    assert d >= 0.90, f"overfit Dice {d:.3f} < 0.90"
+
+
+def test_sliding_window_matches_whole_volume(trained_model):
+    root, cases, save_dir, _ = trained_model
+    from segmentation3d_tpu.core.seg_infer import segmentation
+    from segmentation3d_tpu.io import read_image
+    img_path = cases[1][0][0]
+    out_a = str(root / "out_whole")
+    out_b = str(root / "out_sw")
+    segmentation(img_path, save_dir, out_a, seg_name="seg.nii.gz", batch_size=1)
+    segmentation(img_path, save_dir, out_b, seg_name="seg.nii.gz",
+                 partition_type="SIZE", partition_size=[32, 32, 32],
+                 partition_stride=[16, 16, 16], batch_size=2)
+    a = read_image(os.path.join(out_a, os.listdir(out_a)[0], "seg.nii.gz")).data
+    b = read_image(os.path.join(out_b, os.listdir(out_b)[0], "seg.nii.gz")).data
+    assert _dice(a, b) > 0.95
+
+
+def test_save_prob_and_image(trained_model):
+    root, cases, save_dir, _ = trained_model
+    from segmentation3d_tpu.core.seg_infer import segmentation
+    out_dir = str(root / "out_full")
+    results = segmentation(cases[2][0][0], save_dir, out_dir, seg_name="seg.mha",
+                           save_image=True, save_prob=True, batch_size=1)
+    case_dir = os.path.join(out_dir, results[0][0])
+    files = set(os.listdir(case_dir))
+    assert "seg.mha" in files and "org.mha" in files
+    assert "prob_0.mha" in files and "prob_1.mha" in files
+
+
+def test_resume_training(trained_model):
+    root, cases, save_dir, cfg_path = trained_model
+    from segmentation3d_tpu.utils import model_io
+    latest = model_io.latest_checkpoint(save_dir)
+    epoch = int(latest.rsplit("chk_", 1)[1])
+    # rewrite config with resume_epoch set
+    text = open(cfg_path).read().replace(
+        "__C.general.resume_epoch = -1", f"__C.general.resume_epoch = {epoch}")
+    resume_cfg = str(root / "config_resume.py")
+    open(resume_cfg, "w").write(text.replace("__C.train.epochs = 40",
+                                             "__C.train.epochs = 42"))
+    from segmentation3d_tpu.core.seg_train import train
+    train(resume_cfg)  # must not wipe the dir, must produce a newer checkpoint
+    latest2 = model_io.latest_checkpoint(save_dir)
+    assert int(latest2.rsplit("chk_", 1)[1]) >= epoch
+
+
+def test_infer_on_folder(trained_model, tmp_path):
+    root, cases, save_dir, _ = trained_model
+    import shutil
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    shutil.copy(cases[0][0][0], folder / "a.nii.gz")
+    shutil.copy(cases[1][0][0], folder / "b.nii.gz")
+    from segmentation3d_tpu.core.seg_infer import segmentation
+    out = str(tmp_path / "out")
+    results = segmentation(str(folder), save_dir, out, seg_name="seg.nii.gz",
+                           batch_size=1)
+    assert len(results) == 2
+    assert sorted(os.listdir(out)) == ["a", "b"]
