@@ -43,7 +43,26 @@ def main(argv=None):
                         help="connected-component post-processing")
     parser.add_argument("--post_threshold", type=int, default=64)
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    parser.add_argument("--fine_model", default=None,
+                        help="enable coarse-to-fine: -m is the coarse model, "
+                             "this is the fine model directory")
+    parser.add_argument("--roi_margin", type=float, default=16.0,
+                        help="coarse-to-fine ROI margin in mm")
     args = parser.parse_args(argv)
+
+    if args.fine_model:
+        from segmentation3d_tpu.core.coarse_to_fine import segmentation_coarse_to_fine
+        segmentation_coarse_to_fine(
+            input_path=args.input, coarse_model_dir=args.model,
+            fine_model_dir=args.fine_model, output_dir=args.output,
+            seg_name=args.seg_name,
+            partition_size=args.partition_size or (96, 96, 96),
+            partition_stride=args.partition_stride,
+            batch_size=args.batch_size, margin_mm=args.roi_margin,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            save_image=args.save_image,
+        )
+        return
 
     post = None
     if args.post == "largest_cc":

@@ -53,8 +53,9 @@ class SlidingWindowInferer:
     """
 
     def __init__(self, net, patch_size_zyx, num_classes, batch_size=8,
-                 blend="gaussian", out_dtype=jnp.float32):
+                 blend="gaussian", out_dtype=jnp.float32, apply_fn=None):
         self.net = net
+        self.apply_fn = apply_fn  # overrides net.apply (e.g. fused forward)
         self.patch_size = tuple(int(v) for v in patch_size_zyx)
         self.num_classes = int(num_classes)
         self.batch_size = int(batch_size)
@@ -81,6 +82,8 @@ class SlidingWindowInferer:
         weight = self.weight.astype(self.out_dtype)
 
         def fwd(patches):
+            if self.apply_fn is not None:
+                return self.apply_fn(variables, patches, train=False)
             return self.net.apply(variables, patches, train=False)
 
         def body(carry, inp):

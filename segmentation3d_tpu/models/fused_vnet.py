@@ -1,0 +1,143 @@
+"""Fused inference forward for V-Net: BN folding + Pallas thin-channel convs.
+
+At inference BatchNorm is a per-channel affine, so it folds into the
+preceding conv's weights/bias (``ops.pallas_conv.fold_bn``); the activation
+then fuses into the conv epilogue. Stride-1 3x3x3 convs with few output
+channels route through the lane-packed Pallas kernel
+(:func:`segmentation3d_tpu.ops.pallas_conv.thin_conv3d`); everything else
+(stride-2 down/up convs, wide convs, 1x1 projection) stays on XLA convs.
+
+``build_fused_forward(net, variables)`` returns ``apply_fn(variables, x,
+train=False)`` computing the same function as ``net.apply(variables, x,
+train=False)`` (within bf16 tolerance) — drop-in for
+``SlidingWindowInferer(apply_fn=...)``.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from segmentation3d_tpu.models.vnet import SegmentationNet
+from segmentation3d_tpu.ops.pallas_conv import thin_conv3d, fold_bn
+
+# route a stride-1 3x3x3 conv through Pallas when Cout is this thin or less
+PALLAS_COUT_MAX = 32
+
+
+def _act(x, kind, alpha=0.25):
+    if kind == "relu":
+        return jax.nn.relu(x)
+    if kind == "prelu":
+        return jnp.where(x >= 0, x, alpha * x)
+    if kind == "none":
+        return x
+    raise ValueError(kind)
+
+
+def _xla_conv(x, w, b, strides=(1, 1, 1), padding="SAME", dtype=jnp.bfloat16):
+    out = jax.lax.conv_general_dilated(
+        x.astype(dtype), w.astype(dtype), strides, padding,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b.reshape(1, 1, 1, 1, -1).astype(jnp.float32)
+    return out
+
+
+def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
+                        use_pallas: bool = True, interpret: bool = False):
+    """Build the fused apply function. Captures folded weights as constants
+    of the returned closure (re-build after loading new variables)."""
+    if net.bottleneck:
+        raise NotImplementedError("fused forward supports the standard "
+                                  "(non-bottleneck) V-Net blocks")
+    p = variables["params"]
+    s = variables["batch_stats"]
+    act_kind = net.act
+
+    def folded(pp, ss):
+        return fold_bn(pp["conv"]["kernel"],
+                       pp["conv"].get("bias"),
+                       pp["bn"]["scale"], pp["bn"]["bias"],
+                       ss["bn"]["mean"], ss["bn"]["var"])
+
+    def alpha_of(pp, name):
+        if act_kind == "prelu" and name in pp:
+            return float(jnp.reshape(pp[name]["alpha"], ())[...])
+        return 0.25
+
+    def conv_bn_act(x, pp, ss, act=True, pname="act"):
+        w, b = folded(pp, ss)
+        cout = w.shape[-1]
+        kind = act_kind if act else "none"
+        alpha = alpha_of(pp, pname)
+        if (use_pallas and w.shape[:3] == (3, 3, 3) and cout <= PALLAS_COUT_MAX
+                and x.shape[3] >= 8):
+            return thin_conv3d(x.astype(dtype), w, b, act=kind, alpha=alpha,
+                               out_dtype=dtype, interpret=interpret,
+                               TY=_pick_ty(x.shape[2]))
+        out = _xla_conv(x, w, b)
+        return _act(out, kind, alpha).astype(dtype)
+
+    def strided_bn_act(x, pp, conv_name, bn_name, act_name, ss, transpose=False):
+        w, b = fold_bn(pp[conv_name]["kernel"], pp[conv_name].get("bias"),
+                       pp[bn_name]["scale"], pp[bn_name]["bias"],
+                       ss[bn_name]["mean"], ss[bn_name]["var"])
+        if transpose:
+            out = jax.lax.conv_transpose(
+                x.astype(dtype), w.astype(dtype), (2, 2, 2), "VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32)
+            out = out + b.reshape(1, 1, 1, 1, -1).astype(jnp.float32)
+        else:
+            out = _xla_conv(x, w, b, strides=(2, 2, 2), padding="VALID")
+        return _act(out, act_kind, alpha_of(pp, act_name)).astype(dtype)
+
+    def res_block(x, pp, ss, num_convs):
+        h = x
+        for i in range(num_convs):
+            h = conv_bn_act(h, pp[f"conv{i}"], ss[f"conv{i}"], act=True)
+        return _act(x + h, act_kind, alpha_of(pp, "act_out")).astype(dtype)
+
+    down_convs = list(net.down_convs)
+    up_convs = list(net.up_convs)
+    base = net.base_channels
+
+    def apply_fn(_variables, x, train=False, return_logits=False):
+        del _variables, train  # folded weights are closure constants
+        x = x.astype(dtype)
+        c = base
+        skips = []
+        x = conv_bn_act(x, p["in_block"]["conv"], s["in_block"]["conv"])
+        skips.append(x)
+        n = len(down_convs)
+        for i, nconv in enumerate(down_convs):
+            c *= 2
+            pp, ss = p[f"down_{c}"], s[f"down_{c}"]
+            x = strided_bn_act(x, pp, "down_conv", "down_bn", "down_act", ss)
+            x = res_block(x, pp["res"], ss["res"], nconv)
+            if i + 1 < n:
+                skips.append(x)
+        for nconv in up_convs:
+            pp, ss = p[f"up_{c}"], s[f"up_{c}"]
+            skip = skips.pop()
+            x = strided_bn_act(x, pp, "up_conv", "up_bn", "up_act", ss,
+                               transpose=True)
+            x = jnp.concatenate([x, skip.astype(dtype)], axis=-1)
+            x = res_block(x, pp["res"], ss["res"], nconv)
+            c //= 2
+        pp, ss = p["out_block"], s["out_block"]
+        x = conv_bn_act(x, pp["conv"], ss["conv"])
+        logits = _xla_conv(x, pp["proj"]["kernel"], pp["proj"]["bias"])
+        if return_logits:
+            return logits
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    return apply_fn
+
+
+def _pick_ty(h: int) -> int:
+    for ty in (16, 12, 8, 6, 4, 2):
+        if h % ty == 0:
+            return ty
+    return 2

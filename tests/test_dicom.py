@@ -1,0 +1,73 @@
+"""DICOM series reader test against synthetic explicit-VR-LE files."""
+import os
+import struct
+
+import numpy as np
+
+from segmentation3d_tpu.io.dicom import read_dicom_series
+
+
+def _elem(group, elem, vr, value: bytes) -> bytes:
+    out = struct.pack("<HH", group, elem) + vr
+    if vr in (b"OB", b"OW"):
+        out += b"\x00\x00" + struct.pack("<I", len(value))
+    else:
+        if len(value) % 2:
+            value += b" " if vr in (b"DS", b"IS", b"UI", b"CS") else b"\x00"
+        out += struct.pack("<H", len(value))
+    return out + value
+
+
+def _write_slice(path, z_pos, rows=8, cols=8, inst=1, slope=2.0, intercept=-100.0):
+    pixels = (np.arange(rows * cols, dtype=np.int16) + inst * 10)
+    body = b""
+    body += _elem(0x0008, 0x0018, b"UI", b"1.2.3.4")           # SOPInstanceUID
+    body += _elem(0x0020, 0x000E, b"UI", b"1.2.3.9")           # SeriesUID
+    body += _elem(0x0020, 0x0013, b"IS", str(inst).encode())   # InstanceNumber
+    body += _elem(0x0020, 0x0032, b"DS", f"1.5\\-2.5\\{z_pos}".encode())
+    body += _elem(0x0020, 0x0037, b"DS", b"1\\0\\0\\0\\1\\0")
+    body += _elem(0x0028, 0x0010, b"US", struct.pack("<H", rows))
+    body += _elem(0x0028, 0x0011, b"US", struct.pack("<H", cols))
+    body += _elem(0x0028, 0x0030, b"DS", b"0.7\\0.8")          # row\col spacing
+    body += _elem(0x0028, 0x0100, b"US", struct.pack("<H", 16))
+    body += _elem(0x0028, 0x0103, b"US", struct.pack("<H", 1))  # signed
+    body += _elem(0x0028, 0x1052, b"DS", str(intercept).encode())
+    body += _elem(0x0028, 0x1053, b"DS", str(slope).encode())
+    body += _elem(0x7FE0, 0x0010, b"OW", pixels.tobytes())
+
+    meta = b""
+    meta += _elem(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1")
+    meta = _elem(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta))) + meta
+
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+    return pixels.reshape(rows, cols).astype(np.float32) * slope + intercept
+
+
+def test_read_series(tmp_path):
+    d = tmp_path / "series"
+    d.mkdir()
+    expected = []
+    # write out of order; reader must sort by position along the normal
+    for inst, z in [(2, 5.0), (1, 2.5), (3, 7.5)]:
+        expected.append((z, _write_slice(str(d / f"im{inst}.dcm"), z, inst=inst)))
+    expected.sort(key=lambda t: t[0])
+
+    data, frame = read_dicom_series(str(d))
+    assert data.shape == (3, 8, 8)
+    for zi, (z, img) in enumerate(expected):
+        np.testing.assert_allclose(data[zi], img, atol=1e-4)
+    np.testing.assert_allclose(frame.origin, [1.5, -2.5, 2.5])
+    # spacing: (col=x, row=y, dz)
+    np.testing.assert_allclose(frame.spacing, [0.8, 0.7, 2.5])
+    np.testing.assert_allclose(frame.direction, np.eye(3), atol=1e-9)
+
+
+def test_read_via_dispatch(tmp_path):
+    d = tmp_path / "series2"
+    d.mkdir()
+    _write_slice(str(d / "a.dcm"), 0.0, inst=1)
+    _write_slice(str(d / "b.dcm"), 1.0, inst=2)
+    from segmentation3d_tpu.io import read_image
+    vol = read_image(str(d))
+    assert vol.data.shape == (2, 8, 8)

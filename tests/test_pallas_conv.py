@@ -1,0 +1,85 @@
+"""Pallas thin-conv parity vs XLA reference (interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from segmentation3d_tpu.ops import pallas_conv as pc
+
+rng = np.random.default_rng(0)
+
+
+def _check(B, D, H, W, cin, cout, act="relu", TY=4):
+    x = jnp.asarray(rng.normal(size=(B, D, H, W, cin)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+    ref = pc.thin_conv3d_reference(x, w, b, act)
+    out = pc.thin_conv3d(x, w, b, act=act, TY=TY, out_dtype=jnp.float32,
+                         interpret=True)
+    # bf16 inputs: relative tolerance ~1%
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref),
+        atol=0.05 * float(jnp.max(jnp.abs(ref))), rtol=0.05)
+
+
+@pytest.mark.parametrize("cin,cout", [(32, 32), (16, 16), (32, 2), (1, 16)])
+def test_parity_shapes(cin, cout):
+    _check(1, 8, 8, 16, cin, cout)
+
+
+def test_parity_nonsquare_and_padded_width():
+    _check(2, 6, 8, 16, 16, 16)
+    _check(1, 4, 8, 24, 32, 32)  # W=24 -> Wb not mult of 4 -> internal pad
+
+
+def test_parity_prelu_and_none():
+    _check(1, 8, 8, 16, 32, 32, act="prelu")
+    _check(1, 8, 8, 16, 32, 32, act="none")
+
+
+def test_fold_bn():
+    cin, cout = 4, 8
+    x = jnp.asarray(rng.normal(size=(1, 6, 6, 6, cin)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.5, 2.0, cout), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+    mean = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+    var = jnp.asarray(rng.uniform(0.5, 2.0, cout), jnp.float32)
+    conv = pc.thin_conv3d_reference(x, w, b, "none")
+    bn = (conv - mean) / jnp.sqrt(var + 1e-5) * scale + bias
+    w2, b2 = pc.fold_bn(w, b, scale, bias, mean, var)
+    fused = pc.thin_conv3d_reference(x, w2, b2, "none")
+    np.testing.assert_allclose(np.asarray(bn), np.asarray(fused), atol=1e-4)
+
+
+def test_pack_weights_structure():
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 2, 4)), jnp.float32)
+    L = 8
+    wk = np.asarray(pc.pack_weights(w, L))
+    assert wk.shape == (9 * (L + 2) * 2, L * 4)
+    # banded: entry for (xi, xo) is zero unless xi - xo in {0,1,2}
+    wk5 = wk.reshape(9, L + 2, 2, L, 4)
+    for xi in range(L + 2):
+        for xo in range(L):
+            blk = wk5[:, xi, :, xo, :]
+            if 0 <= xi - xo <= 2:
+                assert np.any(blk != 0)
+            else:
+                assert np.all(blk == 0)
+
+
+def test_fused_forward_matches_net():
+    from segmentation3d_tpu.models.vnet import SegmentationNet
+    from segmentation3d_tpu.models.fused_vnet import build_fused_forward
+    net = SegmentationNet(in_channels=1, out_channels=2, base_channels=4)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 1)), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+    ref = net.apply(variables, x, train=False)
+    fused = build_fused_forward(net, variables, dtype=jnp.float32,
+                                use_pallas=True, interpret=True)
+    out = fused(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.02)
+    # argmax agreement (what inference actually uses)
+    agree = np.mean(np.argmax(np.asarray(out), -1) == np.argmax(np.asarray(ref), -1))
+    assert agree > 0.99
