@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    ap.add_argument("--fused", default="1", choices=["0", "1"],
+                    help="BN-folded forward with Pallas thin-channel convs")
     args = ap.parse_args()
 
     import jax
@@ -37,6 +39,10 @@ def main():
     net = SegmentationNet(in_channels=1, out_channels=args.classes, dtype=dtype)
     x0 = jnp.zeros((1, args.patch, args.patch, args.patch, 1), jnp.float32)
     variables = net.init(jax.random.PRNGKey(0), x0, train=False)
+    apply_fn = None
+    if args.fused == "1":
+        from segmentation3d_tpu.models.fused_vnet import build_fused_forward
+        apply_fn = build_fused_forward(net, variables, dtype=dtype)
 
     rng = np.random.default_rng(0)
     size = args.size
@@ -45,7 +51,7 @@ def main():
 
     inferer = SlidingWindowInferer(
         net, (args.patch,) * 3, args.classes, batch_size=args.batch,
-        blend="gaussian")
+        blend="gaussian", apply_fn=apply_fn)
     stride = (args.stride,) * 3
 
     # warm-up / compile

@@ -172,16 +172,28 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
                  gpu_id=0, save_image=False, save_prob=False,
                  partition_type=DISABLE, partition_size=None, partition_stride=None,
                  batch_size=8, blend="gaussian", post_processing=None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, fused=None):
     """Segment all cases found at ``input_path`` — the reference's public
     entry (``core/seg_infer.py:segmentation`` ≈L270-340).
 
     ``gpu_id`` is accepted for CLI parity; device selection on TPU is
     managed by JAX. ``partition_type``: DISABLE (whole volume), SIZE
     (fixed ``partition_size``/``partition_stride`` boxes), NUM.
+    ``fused``: route the forward through the BN-folded Pallas path
+    (default: on for bfloat16 on TPU).
     """
     del gpu_id
     model = load_seg_model(model_dir, dtype=dtype)
+    apply_fn = None
+    if fused is None:
+        import jax
+        fused = (dtype == jnp.bfloat16 and jax.default_backend() != "cpu")
+    if fused:
+        try:
+            from segmentation3d_tpu.models.fused_vnet import build_fused_forward
+            apply_fn = build_fused_forward(model.net, model.variables, dtype=dtype)
+        except (NotImplementedError, KeyError):
+            apply_fn = None
     cases = find_cases(input_path)
     os.makedirs(output_dir, exist_ok=True)
 
@@ -213,7 +225,8 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
         if key not in inferers:
             inferers[key] = SlidingWindowInferer(
                 model.net, patch, model.out_channels,
-                batch_size=batch_size, blend=blend if stride != patch else "constant")
+                batch_size=batch_size, blend=blend if stride != patch else "constant",
+                apply_fn=apply_fn)
         inferer = inferers[key]
 
         mask_vol, prob_out, native, secs = segmentation_one_case(

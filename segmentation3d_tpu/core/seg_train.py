@@ -19,7 +19,9 @@ from __future__ import annotations
 
 import functools
 import os
+import queue as _queue
 import shutil
+import threading
 import time
 
 import jax
@@ -48,6 +50,50 @@ def _prepare_save_dir(save_dir: str, resume: bool, logger=None):
                 f"{sorted(entries - known)}; remove it manually or resume")
         shutil.rmtree(save_dir)
     os.makedirs(save_dir, exist_ok=True)
+
+
+class _BatchPrefetcher:
+    """Assembles upcoming batches on a background thread (the TPU analog of
+    the reference's DataLoader worker pool, ``num_threads`` -> depth): batch
+    b+1 is cropped/normalized while the device runs step b."""
+
+    def __init__(self, dataset, index_iter, batchsize, mesh, depth=2):
+        self.dataset = dataset
+        self.index_iter = index_iter
+        self.batchsize = batchsize
+        self.mesh = mesh
+        self._stop = False
+        self.q = _queue.Queue(maxsize=max(1, depth))
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def _run(self):
+        while not self._stop:
+            try:
+                idxs = [next(self.index_iter) for _ in range(self.batchsize)]
+            except StopIteration:
+                self.q.put(None)
+                return
+            batch = self.dataset.batch(idxs)
+            images, segs = shard_batch((batch[0], batch[1]), self.mesh)
+            self.q.put((images, segs, batch[2], batch[3]))
+
+    def stop(self):
+        self._stop = True
+        while not self.q.empty():
+            try:
+                self.q.get_nowait()
+            except _queue.Empty:
+                break
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self.q.get()
+        if item is None:
+            raise StopIteration
+        return item
 
 
 def make_train_step(net, loss_fn, optimizer):
@@ -188,14 +234,14 @@ def train(config_file: str):
     total_batches = (dataset_len * epochs) // batchsize
     logger.info(f"training: {dataset_len} cases, {epochs} epochs, batch {batchsize}, "
                 f"{n_dev} device(s), net {cfg.net.name}, loss {cfg.loss.name}")
+    prefetcher = _BatchPrefetcher(dataset, indices, batchsize, mesh,
+                                  depth=max(1, int(cfg.train.get("num_threads", 1))))
     while batch_idx < total_batches:
         t0 = time.time()
         try:
-            batch_indices = [next(indices) for _ in range(batchsize)]
+            images, segs, frames, names = next(prefetcher)
         except StopIteration:
             break
-        images, segs, frames, names = dataset.batch(batch_indices)
-        images, segs = shard_batch((images, segs), mesh)
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state, images, segs)
         loss_val = float(loss)
@@ -225,6 +271,7 @@ def train(config_file: str):
         prev_epoch = epoch_idx
         batch_idx += 1
 
+    prefetcher.stop()
     final_epoch = (batch_idx * batchsize) // dataset_len
     if final_epoch != last_saved_epoch:
         save(final_epoch, max(batch_idx - 1, 0))

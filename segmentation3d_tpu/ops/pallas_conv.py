@@ -79,12 +79,13 @@ def _conv_kernel(p0_ref, p1_ref, p2_ref, wk_ref, b_ref, out_ref, *,
     [1, H*Wb, L*Cout]. Nine accumulating GEMMs, one per (dz, dy) tap."""
     win = (L + 2) * cin
     planes = (p0_ref, p1_ref, p2_ref)
-    acc = b_ref[:] * jnp.ones((H * Wb, 1), jnp.float32)
-    for dzdy in range(9):
-        dz, dy = dzdy // 3, dzdy % 3
-        part = planes[dz][0, dy * Wb:(dy + H) * Wb, :win]
-        acc = acc + jnp.dot(part, wk_ref[pl.ds(dzdy * win, win), :],
-                            preferred_element_type=jnp.float32)
+    parts = [planes[dzdy // 3][0, (dzdy % 3) * Wb:((dzdy % 3) + H) * Wb, :win]
+             for dzdy in range(9)]
+    # one MXU-shaped GEMM: K = 9*(L+2)*Cin (operand offsets are aligned
+    # because Wb % 8 == 0 and the lane slice starts at 0)
+    a = jnp.concatenate(parts, axis=-1)
+    acc = jnp.dot(a, wk_ref[:], preferred_element_type=jnp.float32)
+    acc = acc + b_ref[:]
     if act == "relu":
         acc = jnp.maximum(acc, 0.0)
     elif act == "prelu":

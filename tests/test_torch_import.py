@@ -1,0 +1,40 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from segmentation3d_tpu.models.vnet import SegmentationNet
+from segmentation3d_tpu.compat.torch_import import import_torch_state_dict
+from segmentation3d_tpu.utils import model_io
+
+
+def test_positional_import_roundtrip():
+    """Rename all keys to reference-style arbitrary names; positional import
+    must reconstruct an equivalent net."""
+    net = SegmentationNet(in_channels=1, out_channels=2, base_channels=4)
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+    state, _ = model_io.flatten_variables(variables)
+    renamed = {f"module.layer{i}.whatever_{k.split('.')[-1]}": torch.tensor(v)
+               for i, (k, v) in enumerate(state.items())}
+    imported = import_torch_state_dict(renamed, net, (1, 16, 16, 16, 1))
+    imported = jax.tree_util.tree_map(jnp.asarray, imported)
+    np.testing.assert_allclose(
+        np.asarray(net.apply(imported, x, train=False)),
+        np.asarray(net.apply(variables, x, train=False)), atol=1e-6)
+
+
+def test_import_rejects_wrong_count_and_shape():
+    net = SegmentationNet(in_channels=1, out_channels=2, base_channels=4)
+    x_shape = (1, 16, 16, 16, 1)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros(x_shape), train=False)
+    state, _ = model_io.flatten_variables(variables)
+    items = list(state.items())
+    with pytest.raises(ValueError, match="structural mismatch"):
+        import_torch_state_dict(dict(items[:-1]), net, x_shape)
+    bad = dict(items)
+    k0 = items[0][0]
+    bad[k0] = np.zeros((1, 2, 3), np.float32)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        import_torch_state_dict(bad, net, x_shape)
