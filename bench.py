@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--patch", type=int, default=96)
     ap.add_argument("--stride", type=int, default=64)
+    ap.add_argument("--slab", type=int, default=0,
+                    help="slab mode: patches span full XY, this many z planes")
+    ap.add_argument("--slab_stride", type=int, default=0)
     ap.add_argument("--classes", type=int, default=2)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--reps", type=int, default=3)
@@ -37,7 +40,16 @@ def main():
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     net = SegmentationNet(in_channels=1, out_channels=args.classes, dtype=dtype)
-    x0 = jnp.zeros((1, args.patch, args.patch, args.patch, 1), jnp.float32)
+    if args.slab:
+        patch_zyx = (args.slab, args.size, args.size)
+        stride_zyx = (args.slab_stride or max(args.slab - 16, 1),
+                      args.size, args.size)
+        batch = 1
+    else:
+        patch_zyx = (args.patch,) * 3
+        stride_zyx = (args.stride,) * 3
+        batch = args.batch
+    x0 = jnp.zeros((1, 32, 32, 32, 1), jnp.float32)
     variables = net.init(jax.random.PRNGKey(0), x0, train=False)
     apply_fn = None
     if args.fused == "1":
@@ -50,9 +62,9 @@ def main():
     vol = jax.device_put(jnp.asarray(vol_np))
 
     inferer = SlidingWindowInferer(
-        net, (args.patch,) * 3, args.classes, batch_size=args.batch,
+        net, patch_zyx, args.classes, batch_size=batch,
         blend="gaussian", apply_fn=apply_fn)
-    stride = (args.stride,) * 3
+    stride = stride_zyx
 
     # warm-up / compile
     seg = inferer(variables, vol, stride_zyx=stride)
@@ -62,16 +74,18 @@ def main():
     for _ in range(args.reps):
         t0 = time.perf_counter()
         seg = inferer(variables, vol, stride_zyx=stride)
-        seg.block_until_ready()
+        np.asarray(seg[0, 0, :2])  # force completion (relay-safe)
         times.append(time.perf_counter() - t0)
     sec_per_vol = min(times)
     vols_per_min = 60.0 / sec_per_vol
 
     n_boxes = len(inferer.boxes_for((size, size, size), stride))
+    patch_desc = (f"{args.slab}x{size}x{size} slabs, z-stride {stride[0]}"
+                  if args.slab else
+                  f"{args.patch}^3 patches, stride {args.stride}")
     result = {
         "metric": f"{size}^3 CT sliding-window segmentation throughput "
-                  f"({args.patch}^3 patches, stride {args.stride}, "
-                  f"{n_boxes} patches, {args.dtype})",
+                  f"({patch_desc}, {n_boxes} patches, {args.dtype})",
         "value": round(vols_per_min, 3),
         "unit": "volumes/min/chip",
         "vs_baseline": round(vols_per_min / 20.0, 3),

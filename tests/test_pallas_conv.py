@@ -56,17 +56,23 @@ def test_fold_bn():
 def test_pack_weights_structure():
     w = jnp.asarray(rng.normal(size=(3, 3, 3, 2, 4)), jnp.float32)
     L = 8
-    wk = np.asarray(pc.pack_weights(w, L))
-    assert wk.shape == (9 * (L + 2) * 2, L * 4)
-    # banded: entry for (xi, xo) is zero unless xi - xo in {0,1,2}
-    wk5 = wk.reshape(9, L + 2, 2, L, 4)
-    for xi in range(L + 2):
+    wc, wl, wr = (np.asarray(m) for m in pc.pack_weights(w, L))
+    assert wc.shape == (9 * L * 2, L * 4)
+    assert wl.shape == (9 * 2, L * 4) and wr.shape == (9 * 2, L * 4)
+    # center band: (xv, xo) entry zero unless |xv - xo| <= 1
+    wc5 = wc.reshape(9, L, 2, L, 4)
+    for xv in range(L):
         for xo in range(L):
-            blk = wk5[:, xi, :, xo, :]
-            if 0 <= xi - xo <= 2:
+            blk = wc5[:, xv, :, xo, :]
+            if abs(xv - xo) <= 1:
                 assert np.any(blk != 0)
             else:
                 assert np.all(blk == 0)
+    # boundary matrices feed only the edge outputs
+    wl4 = wl.reshape(9, 2, L, 4)
+    wr4 = wr.reshape(9, 2, L, 4)
+    assert np.all(wl4[:, :, 1:, :] == 0) and np.any(wl4[:, :, 0, :] != 0)
+    assert np.all(wr4[:, :, :L - 1, :] == 0) and np.any(wr4[:, :, L - 1, :] != 0)
 
 
 def test_fused_forward_matches_net():
