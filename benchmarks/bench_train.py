@@ -1,0 +1,99 @@
+"""Training-throughput benchmark (driver config #3): device-side
+resample->normalize->crop pipeline + jitted train step, 3-class, batch 8.
+
+Prints one JSON line: {"metric": ..., "value": patches/sec, ...}.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--crop", type=int, default=96)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--classes", type=int, default=3)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--cases", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from segmentation3d_tpu.models.vnet import SegmentationNet
+    from segmentation3d_tpu.losses import MultiDiceLoss
+    from segmentation3d_tpu.core.seg_train import make_train_step
+    from segmentation3d_tpu.dataloader import SegmentationDataset
+    from segmentation3d_tpu.parallel import make_mesh, replicate, shard_batch
+    from segmentation3d_tpu.utils.normalizer import FixedNormalizer
+    from segmentation3d_tpu.io import Volume, write_image
+    from segmentation3d_tpu.ops.geometry import Frame
+    import tempfile
+
+    # synthetic organ-CT-like cases on disk (exercises the real host->device
+    # pipeline: file read, fixed-spacing crop, normalize, batch, shard)
+    tmp = tempfile.mkdtemp(prefix="bench_train_")
+    rng = np.random.default_rng(0)
+    ims, segs = [], []
+    shape = (160, 192, 192)
+    frame = Frame.identity(spacing=(1.0, 1.0, 2.0))
+    for i in range(args.cases):
+        img = rng.normal(-300, 300, size=shape).astype(np.float32)
+        seg = np.zeros(shape, np.uint8)
+        seg[40:100, 60:140, 60:140] = 1
+        seg[60:80, 80:120, 80:120] = 2
+        ip = os.path.join(tmp, f"c{i}.nii.gz")
+        sp = os.path.join(tmp, f"c{i}_seg.nii.gz")
+        write_image(Volume(img, frame), ip)
+        write_image(Volume(seg, frame), sp)
+        ims.append([ip])
+        segs.append(sp)
+
+    ds = SegmentationDataset(
+        imseg_list=(ims, segs), num_classes=args.classes, spacing=(1, 1, 1),
+        crop_size=(args.crop,) * 3, sampling_method="MASK",
+        random_translation=(5, 5, 5),
+        crop_normalizers=[FixedNormalizer(-300.0, 600.0)], random_flip=True)
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    net = SegmentationNet(in_channels=1, out_channels=args.classes, dtype=dtype)
+    x0 = jnp.zeros((1, args.crop, args.crop, args.crop, 1), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x0, train=False)
+    optimizer = optax.adam(1e-4)
+    mesh = make_mesh(-1)
+    params = replicate(variables["params"], mesh)
+    stats = replicate(variables["batch_stats"], mesh)
+    opt_state = replicate(optimizer.init(variables["params"]), mesh)
+    step = make_train_step(net, MultiDiceLoss(num_class=args.classes), optimizer)
+
+    def one_step():
+        idxs = rng.integers(0, len(ds), args.batch)
+        images, sgs, _, _ = ds.batch(list(idxs))
+        im, sg = shard_batch((images, sgs), mesh)
+        return step(*([params, stats, opt_state] + [im, sg]))
+
+    params, stats, opt_state, loss = one_step()  # warm-up/compile
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        params, stats, opt_state, loss = one_step()
+    float(loss)
+    dt = (time.perf_counter() - t0) / args.steps
+    pps = args.batch / dt
+    print(json.dumps({
+        "metric": f"train pipeline throughput ({args.crop}^3 crops, "
+                  f"{args.classes}-class, batch {args.batch}, {args.dtype})",
+        "value": round(pps, 2), "unit": "patches/sec",
+        "sec_per_step": round(dt, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

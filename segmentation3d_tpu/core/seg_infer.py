@@ -218,6 +218,19 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
             patch = tuple(int(v) for v in np.asarray(partition_size)[::-1])
             stride = tuple(int(v) for v in np.asarray(partition_stride)[::-1]) \
                 if partition_stride is not None else patch
+        elif partition_type == NUM:
+            # fixed NUMBER of boxes per axis (reference partition_type='NUM')
+            from segmentation3d_tpu.ops.geometry import (
+                resampled_frame, num_partition_by_size)
+            v0 = read_image(image_paths[0])
+            _, iso_size = resampled_frame(
+                v0.frame, v0.size_xyz, model.spacing, model.max_stride)
+            psize, pstride = num_partition_by_size(iso_size, partition_size)
+            ms = model.max_stride
+            psize = (np.ceil(psize / ms) * ms).astype(np.int64)
+            psize = np.minimum(psize, iso_size)
+            patch = tuple(int(v) for v in psize[::-1])
+            stride = tuple(int(v) for v in pstride[::-1])
         else:
             raise NotImplementedError(f"partition_type {partition_type}")
 

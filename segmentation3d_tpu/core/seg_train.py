@@ -128,6 +128,13 @@ def train(config_file: str):
     rng = jax.random.PRNGKey(seed)
     np.random.seed(seed)
 
+    # debug/observability knobs (TPU-native additions; all default off)
+    if cfg.debug.get("debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
+    profile_dir = cfg.debug.get("profile_dir", None)
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
     dataset = SegmentationDataset(
         imseg_list=cfg.general.imseg_list,
         num_classes=cfg.dataset.num_classes,
@@ -275,5 +282,9 @@ def train(config_file: str):
     final_epoch = (batch_idx * batchsize) // dataset_len
     if final_epoch != last_saved_epoch:
         save(final_epoch, max(batch_idx - 1, 0))
+    if profile_dir:
+        jax.profiler.stop_trace()
+    from segmentation3d_tpu.utils.plotting import plot_loss_curve
+    plot_loss_curve(loss_csv)
     logger.info("training finished")
     return save_dir

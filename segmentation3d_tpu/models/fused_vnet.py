@@ -24,6 +24,10 @@ from segmentation3d_tpu.ops.pallas_conv import thin_conv3d, fold_bn
 PALLAS_COUT_MAX = 32
 
 
+def cin_eff(w):
+    return w.shape[3]
+
+
 def _act(x, kind, alpha=0.25):
     if kind == "relu":
         return jax.nn.relu(x)
@@ -71,8 +75,11 @@ def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
         cout = w.shape[-1]
         kind = act_kind if act else "none"
         alpha = alpha_of(pp, pname)
+        # VMEM bound: the v3 kernel holds (H+2)*W*Cin bf16 planes x3 x2
+        # buffers; route big planes (e.g. full-XY slabs) to XLA instead.
+        plane_ok = (x.shape[2] + 2) * x.shape[3] * max(cin_eff(w), 8) <= 1_600_000
         if (use_pallas and w.shape[:3] == (3, 3, 3) and cout <= PALLAS_COUT_MAX
-                and x.shape[3] >= 8):
+                and x.shape[3] >= 8 and plane_ok):
             return thin_conv3d(x.astype(dtype), w, b, act=kind, alpha=alpha,
                                out_dtype=dtype, interpret=interpret,
                                TY=_pick_ty(x.shape[2]))

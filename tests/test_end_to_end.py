@@ -116,6 +116,29 @@ def test_resume_training(trained_model):
     assert int(latest2.rsplit("chk_", 1)[1]) >= epoch
 
 
+def test_num_partition_mode(trained_model):
+    root, cases, save_dir, _ = trained_model
+    from segmentation3d_tpu.core.seg_infer import segmentation
+    from segmentation3d_tpu.io import read_image
+    out = str(root / "out_num")
+    results = segmentation(cases[0][0][0], save_dir, out, seg_name="seg.nii.gz",
+                           partition_type="NUM", partition_size=[2, 2, 2],
+                           batch_size=2)
+    pred = read_image(os.path.join(out, results[0][0], "seg.nii.gz"))
+    truth = read_image(cases[0][1])
+    assert _dice(pred.data, truth.data) >= 0.85
+
+
+def test_loss_curve_plot(trained_model):
+    root, cases, save_dir, _ = trained_model
+    png = os.path.join(save_dir, "train_loss.png")
+    csv = os.path.join(save_dir, "train_loss.csv")
+    from segmentation3d_tpu.utils.plotting import plot_loss_curve
+    out = plot_loss_curve(csv)
+    if out is not None:  # matplotlib present
+        assert os.path.isfile(png)
+
+
 def test_infer_on_folder(trained_model, tmp_path):
     root, cases, save_dir, _ = trained_model
     import shutil
