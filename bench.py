@@ -12,9 +12,16 @@ and prints ONE JSON line:
 """
 import argparse
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent compile cache: the 512^3 program takes minutes to build on the
+# remote-compile path; cached reruns are seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def main():
@@ -22,9 +29,10 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--patch", type=int, default=96)
     ap.add_argument("--stride", type=int, default=64)
-    ap.add_argument("--slab", type=int, default=0,
-                    help="slab mode: patches span full XY, this many z planes")
-    ap.add_argument("--slab_stride", type=int, default=0)
+    ap.add_argument("--slab", type=int, default=64,
+                    help="slab mode (default): patches span full XY, this "
+                         "many z planes; 0 = cubic patches")
+    ap.add_argument("--slab_stride", type=int, default=56)
     ap.add_argument("--classes", type=int, default=2)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--reps", type=int, default=3)

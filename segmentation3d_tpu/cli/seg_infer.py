@@ -32,7 +32,7 @@ def main(argv=None):
     parser.add_argument("--save_prob", action="store_true",
                         help="also save per-class probability maps")
     parser.add_argument("--partition_type", default=DISABLE,
-                        choices=["DISABLE", "SIZE", "NUM"])
+                        choices=["DISABLE", "SIZE", "NUM", "SLAB"])
     parser.add_argument("--partition_size", type=int, nargs=3, default=None,
                         metavar=("X", "Y", "Z"))
     parser.add_argument("--partition_stride", type=int, nargs=3, default=None,

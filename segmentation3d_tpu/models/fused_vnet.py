@@ -49,7 +49,12 @@ def _xla_conv(x, w, b, strides=(1, 1, 1), padding="SAME", dtype=jnp.bfloat16):
 
 
 def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
-                        use_pallas: bool = True, interpret: bool = False):
+                        use_pallas: bool = False, interpret: bool = False):
+    # use_pallas default False: measured in-context on TPU v5e, BN-folded XLA
+    # convs run the full V-Net at 14.8 ms/patch (96^3, b8) vs 17.5 with the
+    # Pallas thin-conv routing — the kernel wins in isolation (11.2 vs 21.4
+    # ms) but its entry/exit layout traffic breaks XLA fusion in-net. Keep
+    # the kernel opt-in until it consumes/produces packed layouts end-to-end.
     """Build the fused apply function. Captures folded weights as constants
     of the returned closure (re-build after loading new variables)."""
     if net.bottleneck:

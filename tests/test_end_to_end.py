@@ -116,6 +116,19 @@ def test_resume_training(trained_model):
     assert int(latest2.rsplit("chk_", 1)[1]) >= epoch
 
 
+def test_slab_partition_mode(trained_model):
+    root, cases, save_dir, _ = trained_model
+    from segmentation3d_tpu.core.seg_infer import segmentation
+    from segmentation3d_tpu.io import read_image
+    out = str(root / "out_slab")
+    results = segmentation(cases[0][0][0], save_dir, out, seg_name="seg.nii.gz",
+                           partition_type="SLAB", partition_size=[16, 16, 16],
+                           partition_stride=[16, 16, 16], shape_bucket=32)
+    pred = read_image(os.path.join(out, results[0][0], "seg.nii.gz"))
+    truth = read_image(cases[0][1])
+    assert _dice(pred.data, truth.data) >= 0.85
+
+
 def test_num_partition_mode(trained_model):
     root, cases, save_dir, _ = trained_model
     from segmentation3d_tpu.core.seg_infer import segmentation
