@@ -63,7 +63,8 @@ def main():
         crop_normalizers=[FixedNormalizer(-300.0, 600.0)], random_flip=True)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    net = SegmentationNet(in_channels=1, out_channels=args.classes, dtype=dtype)
+    net = SegmentationNet(in_channels=1, out_channels=args.classes, dtype=dtype,
+                          remat=True)
     x0 = jnp.zeros((1, args.crop, args.crop, args.crop, 1), jnp.float32)
     variables = net.init(jax.random.PRNGKey(0), x0, train=False)
     optimizer = optax.adam(1e-4)

@@ -168,6 +168,7 @@ def train(config_file: str):
         in_channels=dataset.num_modality,
         out_channels=int(cfg.dataset.num_classes),
         dtype=dtype,
+        remat=bool(cfg.get("tpu", {}).get("remat", True)),
         **net_kwargs,
     )
 

@@ -196,6 +196,7 @@ class SegmentationNet(nn.Module):
     act: str = "relu"
     bottleneck: bool = False
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # checkpoint down/up blocks (training memory)
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_logits: bool = False):
@@ -204,19 +205,23 @@ class SegmentationNet(nn.Module):
         x = x.astype(self.dtype)
         c = self.base_channels
         skips = []
+        # rematerialization: only block boundaries are saved for backward;
+        # block internals (the full-res decoder peak) are recomputed
+        Down = nn.remat(DownBlock, static_argnums=(2,)) if self.remat else DownBlock
+        Up = nn.remat(UpBlock, static_argnums=(3,)) if self.remat else UpBlock
         x = InputBlock(c, self.act, self.dtype, name="in_block")(x, train)
         skips.append(x)
         n_stages = len(self.down_convs)
         for i, nconv in enumerate(self.down_convs):
             c *= 2
-            x = DownBlock(c, nconv, self.act, self.bottleneck, self.dtype,
-                          name=f"down_{c}")(x, train)
+            x = Down(c, nconv, self.act, self.bottleneck, self.dtype,
+                     name=f"down_{c}")(x, train)
             if i + 1 < n_stages:
                 skips.append(x)
         for nconv in self.up_convs:
             skip = skips.pop()
-            x = UpBlock(c, nconv, self.act, self.bottleneck, self.dtype,
-                        name=f"up_{c}")(x, skip, train)
+            x = Up(c, nconv, self.act, self.bottleneck, self.dtype,
+                   name=f"up_{c}")(x, skip, train)
             c //= 2
         return OutputBlock(self.out_channels, self.act, self.dtype,
                            name="out_block")(x, train, return_logits)

@@ -1,0 +1,68 @@
+"""4-channel BraTS-style acceptance (driver config #4, scaled down for CPU):
+multi-modality training with adaptive normalization + multi-modality
+inference through the txt case-list path."""
+import os
+
+import numpy as np
+import pytest
+
+from phantoms import make_sphere_case, make_train_list, write_train_config
+
+
+def _dice(a, b):
+    a, b = a > 0, b > 0
+    return 2.0 * np.logical_and(a, b).sum() / max(a.sum() + b.sum(), 1)
+
+
+@pytest.fixture(scope="module")
+def mm_model(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mm")
+    data = root / "data"
+    cases = [make_sphere_case(str(data), f"case{i}", shape_zyx=(32, 32, 32),
+                              seed=i, num_modality=4) for i in range(2)]
+    lst = make_train_list(str(root / "train.txt"), cases)
+    save_dir = str(root / "model")
+    cfg = write_train_config(
+        str(root / "config.py"), lst, save_dir, num_modality=4, num_classes=2,
+        crop_size=(32, 32, 32), epochs=60, batchsize=2, lr=3e-3,
+        save_epochs=30, sampling_method="CENTER",
+        extra="__C.net.base_channels = 4\n")
+    from segmentation3d_tpu.core.seg_train import train
+    train(cfg)
+    return root, cases, save_dir
+
+
+def test_multimodality_checkpoint_metadata(mm_model):
+    root, cases, save_dir = mm_model
+    from segmentation3d_tpu.utils import model_io
+    chk = model_io.latest_checkpoint(save_dir)
+    payload = model_io.load_checkpoint_payload(chk)
+    assert payload["in_channels"] == 4
+    assert len(payload["crop_normalizers"]) == 4
+    assert payload["crop_normalizers"][0]["type"] == 1  # adaptive
+
+
+def test_multimodality_inference_via_txt(mm_model, tmp_path):
+    root, cases, save_dir = mm_model
+    # test txt: count line then 4 image paths per case
+    lst = tmp_path / "test.txt"
+    with open(lst, "w") as f:
+        f.write("1\n" + "\n".join(cases[0][0]) + "\n")
+    from segmentation3d_tpu.core.seg_infer import segmentation
+    from segmentation3d_tpu.io import read_image
+    out = str(tmp_path / "out")
+    results = segmentation(str(lst), save_dir, out, seg_name="seg.nii.gz",
+                           batch_size=1, shape_bucket=32)
+    assert len(results) == 1
+    pred = read_image(os.path.join(out, results[0][0], "seg.nii.gz"))
+    truth = read_image(cases[0][1])
+    d = _dice(pred.data, truth.data)
+    assert d >= 0.85, f"4-mod Dice {d:.3f}"
+
+
+def test_modality_count_mismatch_raises(mm_model, tmp_path):
+    root, cases, save_dir = mm_model
+    from segmentation3d_tpu.core.seg_infer import segmentation
+    with pytest.raises(AssertionError, match="modalities"):
+        segmentation(cases[0][0][0], save_dir, str(tmp_path / "o"),
+                     batch_size=1, shape_bucket=32)
