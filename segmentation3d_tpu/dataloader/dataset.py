@@ -67,9 +67,15 @@ def read_train_csv(path):
 
 
 class _Case:
-    """Lazy-loaded, RAM-cached case: modality volumes + seg + sampling aux."""
+    """Lazy-loaded, RAM-cached case: modality volumes + seg + sampling aux.
 
-    __slots__ = ("im_paths", "seg_path", "images", "seg", "fg_indices", "name")
+    ``stage(budget)`` additionally keeps the voxel arrays device-resident
+    (HBM) so per-step crops skip the host->device upload — through the axon
+    relay that upload dominates step time otherwise.
+    """
+
+    __slots__ = ("im_paths", "seg_path", "images", "seg", "fg_indices", "name",
+                 "dev_images", "dev_seg", "nbytes")
 
     def __init__(self, im_paths, seg_path):
         self.im_paths = list(im_paths)
@@ -77,6 +83,9 @@ class _Case:
         self.images = None
         self.seg = None
         self.fg_indices = None
+        self.dev_images = None
+        self.dev_seg = None
+        self.nbytes = 0
         base = os.path.basename(im_paths[0])
         for suf in (".nii.gz", ".nii", ".mha", ".mhd"):
             if base.endswith(suf):
@@ -92,7 +101,22 @@ class _Case:
                 self.seg.data = np.rint(self.seg.data).astype(np.int32)
             fg = np.nonzero(self.seg.data > 0)
             self.fg_indices = np.stack(fg, axis=-1) if fg[0].size else None
+            self.nbytes = (sum(v.data.nbytes for v in self.images)
+                           + self.seg.data.nbytes)
         return self
+
+    def stage(self, budget: list) -> tuple:
+        """Return (image_arrays, seg_array) for cropping — device-resident
+        when they fit the remaining ``budget[0]`` bytes."""
+        if self.dev_images is not None:
+            return self.dev_images, self.dev_seg
+        if budget[0] >= self.nbytes:
+            import jax.numpy as jnp
+            self.dev_images = [jnp.asarray(v.data) for v in self.images]
+            self.dev_seg = jnp.asarray(self.seg.data.astype(np.int32))
+            budget[0] -= self.nbytes
+            return self.dev_images, self.dev_seg
+        return [v.data for v in self.images], self.seg.data.astype(np.int32)
 
 
 class SegmentationDataset:
@@ -101,7 +125,7 @@ class SegmentationDataset:
     def __init__(self, imseg_list, num_classes, spacing, crop_size,
                  sampling_method=CENTER, random_translation=(0, 0, 0),
                  interpolation=LINEAR, crop_normalizers=None,
-                 random_flip=False, seed=0):
+                 random_flip=False, seed=0, device_cache_gb=2.0):
         if isinstance(imseg_list, str):
             if imseg_list.endswith(".csv"):
                 ims, segs = read_train_csv(imseg_list)
@@ -121,6 +145,8 @@ class SegmentationDataset:
         self.random_flip = bool(random_flip)
         self.rng = np.random.default_rng(seed)
         self.num_modality = len(ims[0]) if ims else 1
+        # remaining HBM bytes allowed for device-resident source volumes
+        self._dev_budget = [int(float(device_cache_gb) * 1e9)]
 
     def __len__(self):
         return len(self.cases)
@@ -148,18 +174,19 @@ class SegmentationDataset:
 
         case = self.cases[idx].load()
         center = self._select_center_world(case)
+        img_arrays, seg_array = case.stage(self._dev_budget)
         crops = []
         crop_frame = None
         for mi, im in enumerate(case.images):
             crop, crop_frame = crop_at_world_center(
-                im.data, im.frame, center, self.crop_size, self.spacing,
+                img_arrays[mi], im.frame, center, self.crop_size, self.spacing,
                 interp=self.interpolation)
             if self.crop_normalizers is not None and self.crop_normalizers[mi] is not None:
                 crop = self.crop_normalizers[mi](crop)
             crops.append(crop)
         image = jnp.stack(crops, axis=-1)  # [D,H,W,C]
         seg, _ = crop_at_world_center(
-            case.seg.data.astype(np.int32), case.seg.frame, center,
+            seg_array, case.seg.frame, center,
             self.crop_size, self.spacing, interp=NN)
         seg = jnp.clip(seg, 0, self.num_classes - 1)
         if self.random_flip:

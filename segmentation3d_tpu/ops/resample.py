@@ -84,8 +84,9 @@ def separable_resample(data, coeffs, out_shape, interp=LINEAR, fill=0.0):
         for ax in range(3)
     ]
     # einsum per axis; XLA maps each to an MXU matmul. Interpolation weights
-    # need exact f32 accumulation (Dice parity), so force HIGHEST precision.
-    _ein = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST,
+    # need near-f32 accuracy (Dice parity): HIGH = bf16x3 passes reaches
+    # ~f32 for these magnitudes at half the cost of HIGHEST (f32 6-pass).
+    _ein = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGH,
                              preferred_element_type=jnp.float32)
     x = _ein("Zd,dhwc->Zhwc", ws[0], x)
     x = _ein("Yh,dhwc->dYwc", ws[1], x)

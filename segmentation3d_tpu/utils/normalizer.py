@@ -52,10 +52,13 @@ class AdaptiveNormalizer:
         self.max_p = float(max_p)
         self.clip = bool(clip)
 
-    def __call__(self, x):
+    def __call__(self, x, stats_of=None):
+        """``stats_of``: optional array to compute the percentile window on
+        (e.g. the unpadded region of a padded volume); defaults to ``x``."""
         x = jnp.asarray(x, jnp.float32)
-        lo = jnp.percentile(x, self.min_p * 100.0)
-        hi = jnp.percentile(x, self.max_p * 100.0)
+        src = x if stats_of is None else jnp.asarray(stats_of, jnp.float32)
+        lo = jnp.percentile(src, self.min_p * 100.0)
+        hi = jnp.percentile(src, self.max_p * 100.0)
         scale = jnp.maximum(hi - lo, 1e-8)
         x = (x - lo) / scale * 2.0 - 1.0
         if self.clip:
