@@ -120,9 +120,46 @@ def load_seg_model(model_dir: str, dtype=jnp.float32) -> SegModel:
     )
 
 
+import queue as _queue
+import threading as _threading
+
+
+class _ReadAhead:
+    """Background-thread case reader: host file I/O of case N+1 overlaps the
+    device compute of case N."""
+
+    def __init__(self, cases, depth=2):
+        self.q = _queue.Queue(maxsize=max(1, depth))
+        self._t = _threading.Thread(target=self._run, args=(list(cases),),
+                                    daemon=True)
+        self._t.start()
+
+    def _run(self, cases):
+        for image_paths in cases:
+            try:
+                vols = [read_image(p, dtype=np.float32) for p in image_paths]
+                self.q.put((image_paths, vols, None))
+            except Exception as e:  # surface the error at consumption time
+                self.q.put((image_paths, None, e))
+        self.q.put(None)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self.q.get()
+        if item is None:
+            raise StopIteration
+        paths, vols, err = item
+        if err is not None:
+            raise err
+        return paths, vols
+
+
 def segmentation_one_case(model: SegModel, image_paths, inferer: SlidingWindowInferer,
                           stride_zyx=None, save_prob=False, post_processing=None,
-                          fill_value: float = 0.0, shape_bucket: int = 64):
+                          fill_value: float = 0.0, shape_bucket: int = 64,
+                          vols=None):
     """Segment one (possibly multi-modality) case. Returns (mask Volume,
     prob arrays or None, native Volume, seconds).
 
@@ -131,7 +168,8 @@ def segmentation_one_case(model: SegModel, image_paths, inferer: SlidingWindowIn
     program — compile time dominates the first case per shape otherwise.
     """
     t0 = time.time()
-    vols = [read_image(p, dtype=np.float32) for p in image_paths]
+    if vols is None:
+        vols = [read_image(p, dtype=np.float32) for p in image_paths]
     native = vols[0]
     assert len(vols) == model.in_channels, (
         f"model expects {model.in_channels} modalities, got {len(vols)}")
@@ -140,12 +178,20 @@ def segmentation_one_case(model: SegModel, image_paths, inferer: SlidingWindowIn
     # resample each modality to model spacing (pad to x bucket) + normalize
     channels = []
     iso_frame = None
+    from segmentation3d_tpu.ops.geometry import resampled_frame
+    from segmentation3d_tpu.utils.normalizer import AdaptiveNormalizer
     for mi, v in enumerate(vols):
         iso, iso_frame, iso_size = resample_spacing(
             v.data, v.frame, model.spacing, pad_to_multiple=pad_mult,
             interp=model.interpolation, fill=fill_value)
-        if model.normalizers[mi] is not None:
-            iso = model.normalizers[mi](iso)
+        norm = model.normalizers[mi]
+        if isinstance(norm, AdaptiveNormalizer):
+            # percentile window from the VALID region only — bucket padding
+            # (fill voxels) must not skew the intensity statistics
+            _, valid = resampled_frame(v.frame, v.size_xyz, model.spacing, 1)
+            iso = norm(iso, stats_of=iso[:valid[2], :valid[1], :valid[0]])
+        elif norm is not None:
+            iso = norm(iso)
         channels.append(iso)
     vol = jnp.stack(channels, axis=-1)  # [D,H,W,C]
 
@@ -205,7 +251,7 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
 
     inferers = {}
     results = []
-    for image_paths in cases:
+    for image_paths, vols in _ReadAhead(cases):
         case_name = os.path.basename(image_paths[0])
         for suf in IMAGE_EXTS:
             if case_name.endswith(suf):
@@ -213,9 +259,9 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
                 break
 
         pad_mult = max(model.max_stride, int(shape_bucket or 0))
+        v0 = vols[0]
         if partition_type == DISABLE:
-            # whole padded volume as a single patch: read shape first
-            v0 = read_image(image_paths[0])
+            # whole padded volume as a single patch
             from segmentation3d_tpu.ops.geometry import resampled_frame
             _, iso_size = resampled_frame(
                 v0.frame, v0.size_xyz, model.spacing, pad_mult)
@@ -230,7 +276,6 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
             # voxels than 96^3/stride-64 cubes at 512^3 (measured 18.2 vs
             # 7.1 volumes/min/chip) — the preferred large-volume mode on TPU
             from segmentation3d_tpu.ops.geometry import resampled_frame
-            v0 = read_image(image_paths[0])
             _, iso_size = resampled_frame(
                 v0.frame, v0.size_xyz, model.spacing, pad_mult)
             pz = int(np.asarray(partition_size).reshape(-1)[0]) \
@@ -245,7 +290,6 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
             # fixed NUMBER of boxes per axis (reference partition_type='NUM')
             from segmentation3d_tpu.ops.geometry import (
                 resampled_frame, num_partition_by_size)
-            v0 = read_image(image_paths[0])
             _, iso_size = resampled_frame(
                 v0.frame, v0.size_xyz, model.spacing, pad_mult)
             psize, pstride = num_partition_by_size(iso_size, partition_size)
@@ -268,7 +312,7 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
         mask_vol, prob_out, native, secs = segmentation_one_case(
             model, image_paths, inferer, stride_zyx=stride,
             save_prob=save_prob, post_processing=post_processing,
-            shape_bucket=shape_bucket)
+            shape_bucket=shape_bucket, vols=vols)
 
         case_dir = os.path.join(output_dir, case_name)
         write_image(mask_vol, os.path.join(case_dir, seg_name))
