@@ -86,8 +86,7 @@ def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
         if (use_pallas and w.shape[:3] == (3, 3, 3) and cout <= PALLAS_COUT_MAX
                 and x.shape[3] >= 8 and plane_ok):
             return thin_conv3d(x.astype(dtype), w, b, act=kind, alpha=alpha,
-                               out_dtype=dtype, interpret=interpret,
-                               TY=_pick_ty(x.shape[2]))
+                               out_dtype=dtype, interpret=interpret)
         out = _xla_conv(x, w, b)
         return _act(out, kind, alpha).astype(dtype)
 
@@ -147,9 +146,3 @@ def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
 
     return apply_fn
 
-
-def _pick_ty(h: int) -> int:
-    for ty in (16, 12, 8, 6, 4, 2):
-        if h % ty == 0:
-            return ty
-    return 2

@@ -28,14 +28,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _choose_L(cout: int, width: int) -> int:
-    """Largest L with L*Cout <= 128 that divides the x extent."""
-    L = max(1, 128 // cout)
-    while L > 1 and width % L != 0:
-        L //= 2
-    return L
-
-
 def pack_weights(w, L: int):
     """[3,3,3,Cin,Cout] -> (Wc, Wl, Wr) GEMM matrices for the v3 kernel.
 
@@ -123,15 +115,14 @@ def _conv_kernel(p0_ref, p1_ref, p2_ref, wc_ref, wl_ref, wr_ref, b_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("act", "TY", "out_dtype", "L", "interpret"))
+                   static_argnames=("act", "out_dtype", "L", "interpret"))
 def thin_conv3d(x, w, b=None, act: str = "none", alpha: float = 0.25,
-                TY: int = 16, out_dtype=jnp.bfloat16, L: int | None = None,
+                out_dtype=jnp.bfloat16, L: int | None = None,
                 interpret: bool = False):
     """Stride-1 SAME 3x3x3 conv via the lane-packed Pallas kernel.
 
     ``x``: [B, D, H, W, Cin] (bf16/f32); ``w``: [3,3,3,Cin,Cout];
     ``b``: [Cout] or None; ``act``: none | relu | prelu (fused epilogue).
-    H must be divisible by TY (use :func:`thin_conv3d_auto` otherwise).
     """
     B, D, H, W, cin = x.shape
     cout = w.shape[-1]
@@ -145,7 +136,6 @@ def thin_conv3d(x, w, b=None, act: str = "none", alpha: float = 0.25,
     cin_p, cout_p = pad_ch(cin), pad_ch(cout)
     # sublane alignment of the dy*Wb row offsets wants Wb % 8 == 0
     Wp = -(-W // (8 * L)) * (8 * L)
-    del TY  # the kernel processes the full H extent per z-plane
 
     Wb = Wp // L
     lanes = L * cin_p

@@ -9,12 +9,12 @@ from segmentation3d_tpu.ops import pallas_conv as pc
 rng = np.random.default_rng(0)
 
 
-def _check(B, D, H, W, cin, cout, act="relu", TY=4):
+def _check(B, D, H, W, cin, cout, act="relu"):
     x = jnp.asarray(rng.normal(size=(B, D, H, W, cin)), jnp.float32)
     w = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)) * 0.1, jnp.float32)
     b = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
     ref = pc.thin_conv3d_reference(x, w, b, act)
-    out = pc.thin_conv3d(x, w, b, act=act, TY=TY, out_dtype=jnp.float32,
+    out = pc.thin_conv3d(x, w, b, act=act, out_dtype=jnp.float32,
                          interpret=True)
     # bf16 inputs: relative tolerance ~1%
     np.testing.assert_allclose(
