@@ -33,6 +33,7 @@ def main():
                     help="slab mode (default): patches span full XY, this "
                          "many z planes; 0 = cubic patches")
     ap.add_argument("--slab_stride", type=int, default=56)
+    ap.add_argument("--slab_batch", type=int, default=1)
     ap.add_argument("--classes", type=int, default=2)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--reps", type=int, default=3)
@@ -52,7 +53,7 @@ def main():
         patch_zyx = (args.slab, args.size, args.size)
         stride_zyx = (args.slab_stride or max(args.slab - 16, 1),
                       args.size, args.size)
-        batch = 1
+        batch = args.slab_batch
     else:
         patch_zyx = (args.patch,) * 3
         stride_zyx = (args.stride,) * 3
