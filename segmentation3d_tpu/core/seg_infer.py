@@ -248,6 +248,9 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
             apply_fn = None
     cases = find_cases(input_path)
     os.makedirs(output_dir, exist_ok=True)
+    if not cases:
+        print(f"warning: no cases found at {input_path}")
+        return []
 
     inferers = {}
     results = []
