@@ -31,30 +31,42 @@ def template_entries(net, example_shape):
     return [(k, np.asarray(v).shape, layouts[k]) for k, v in state.items()], variables
 
 
+def _is_stat(key: str) -> bool:
+    return key.endswith("running_mean") or key.endswith("running_var")
+
+
 def import_torch_state_dict(torch_sd: dict, net, example_shape):
     """Map an arbitrary-named torch state_dict onto our net by position.
 
-    Returns flax ``variables``. Raises ValueError on a structural mismatch.
+    Parameters and BatchNorm running statistics are matched as two separate
+    ordered streams: PyTorch interleaves ``running_mean``/``running_var``
+    after each BN's weight/bias while our flat template lists all params
+    first — but the RELATIVE order within each stream is the module
+    definition order on both sides, so positional matching per stream is
+    exact. Returns flax ``variables``; raises ValueError on a structural
+    mismatch.
     """
     entries, _ = template_entries(net, example_shape)
     src = [(k, np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v))
            for k, v in torch_sd.items() if not k.endswith("num_batches_tracked")]
-    if len(src) != len(entries):
+
+    ours_params = [e for e in entries if not _is_stat(e[0])]
+    ours_stats = [e for e in entries if _is_stat(e[0])]
+    src_params = [e for e in src if not _is_stat(e[0])]
+    src_stats = [e for e in src if _is_stat(e[0])]
+    if len(src_params) != len(ours_params) or len(src_stats) != len(ours_stats):
         raise ValueError(
-            f"structural mismatch: checkpoint has {len(src)} tensors, "
-            f"net expects {len(entries)}")
+            f"structural mismatch: checkpoint has {len(src_params)} params + "
+            f"{len(src_stats)} running stats, net expects {len(ours_params)} + "
+            f"{len(ours_stats)}")
+
     mapped, layouts = {}, {}
-    for (our_key, our_shape, layout), (their_key, arr) in zip(entries, src):
-        expect = _torch_shape(our_shape, layout)
-        if tuple(arr.shape) != tuple(expect):
+    for (our_key, our_shape, layout), (their_key, arr) in zip(
+            ours_params + ours_stats, src_params + src_stats):
+        if tuple(arr.shape) != tuple(our_shape):
             raise ValueError(
                 f"shape mismatch at {our_key} <- {their_key}: "
-                f"got {arr.shape}, expected {expect}")
+                f"got {arr.shape}, expected {our_shape}")
         mapped[our_key] = arr
         layouts[our_key] = layout
     return model_io.unflatten_state_dict(mapped, layouts)
-
-
-def _torch_shape(our_flat_shape, layout):
-    # flatten_variables already stores torch-layout shapes in the flat dict
-    return our_flat_shape

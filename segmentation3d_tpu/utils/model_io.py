@@ -59,7 +59,10 @@ def flatten_variables(variables) -> tuple[dict, dict]:
         if leaf_name == "kernel" and arr.ndim == 5:
             is_transpose = any("up_conv" in m for m in mods)
             if is_transpose:
-                state[f"{name}.weight"] = np.ascontiguousarray(arr.transpose(3, 4, 0, 1, 2))
+                # flax ConvTranspose correlates; torch ConvTranspose3d
+                # convolves — spatial axes flip between the two layouts
+                state[f"{name}.weight"] = np.ascontiguousarray(
+                    arr[::-1, ::-1, ::-1].transpose(3, 4, 0, 1, 2))
                 layouts[f"{name}.weight"] = "conv_transpose"
             else:
                 state[f"{name}.weight"] = np.ascontiguousarray(arr.transpose(4, 3, 0, 1, 2))
@@ -113,7 +116,8 @@ def unflatten_state_dict(state: dict, layouts: dict | None = None):
                                     and not any("up_conv" in m for m in mods)):
                 insert(params, mods, "kernel", np.ascontiguousarray(arr.transpose(2, 3, 4, 1, 0)))
             elif layout == "conv_transpose" or (layout is None and arr.ndim == 5):
-                insert(params, mods, "kernel", np.ascontiguousarray(arr.transpose(2, 3, 4, 0, 1)))
+                insert(params, mods, "kernel", np.ascontiguousarray(
+                    arr.transpose(2, 3, 4, 0, 1)[::-1, ::-1, ::-1]))
             elif layout == "linear" or (layout is None and arr.ndim == 2):
                 insert(params, mods, "kernel", np.ascontiguousarray(arr.T))
             else:  # BN scale / 1-D weight

@@ -25,6 +25,34 @@ def test_positional_import_roundtrip():
         np.asarray(net.apply(variables, x, train=False)), atol=1e-6)
 
 
+def test_import_genuine_torch_vnet():
+    """A REAL torch V-Net's state_dict imports and reproduces the torch
+    forward within bf16-free f32 tolerance — the Dice-parity contract."""
+    from torch_vnet_ref import TorchVNet
+    torch.manual_seed(0)
+    tnet = TorchVNet(in_ch=1, out_ch=2, base=4).eval()
+    # randomize running stats so BN import is actually exercised
+    with torch.no_grad():
+        for m in tnet.modules():
+            if isinstance(m, torch.nn.BatchNorm3d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+
+    net = SegmentationNet(in_channels=1, out_channels=2, base_channels=4)
+    variables = import_torch_state_dict(tnet.state_dict(), net,
+                                        (1, 16, 16, 16, 1))
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    x = np.random.default_rng(0).normal(size=(1, 16, 16, 16, 1)).astype(np.float32)
+    ours = np.asarray(net.apply(variables, jnp.asarray(x), train=False))
+    with torch.no_grad():
+        theirs = tnet(torch.tensor(x.transpose(0, 4, 1, 2, 3)))
+    theirs = theirs.numpy().transpose(0, 2, 3, 4, 1)
+    np.testing.assert_allclose(ours, theirs, atol=2e-4)
+    agree = np.mean(np.argmax(ours, -1) == np.argmax(theirs, -1))
+    assert agree == 1.0, f"argmax agreement {agree}"
+
+
 def test_import_rejects_wrong_count_and_shape():
     net = SegmentationNet(in_channels=1, out_channels=2, base_channels=4)
     x_shape = (1, 16, 16, 16, 1)
