@@ -92,11 +92,14 @@ class SegModel:
 
 def load_seg_model(model_dir: str, dtype=jnp.float32) -> SegModel:
     """Scan ``<model_dir>/checkpoints/chk_*`` for the latest epoch and restore
-    everything from the self-describing ``params.pth``."""
+    everything from the self-describing ``params.pth``.
+
+    Checkpoints written by this framework restore by name; checkpoints
+    trained with the PyTorch reference (foreign module names) fall back to
+    the positional structural importer (``compat.torch_import``)."""
     chk = model_io.latest_checkpoint(model_dir)
-    variables, payload = model_io.load_checkpoint(chk)
+    payload = model_io.load_checkpoint_payload(chk)
     import jax
-    variables = jax.tree_util.tree_map(jnp.asarray, variables)
     net_mod = get_network_module(payload["net"])
     net_kwargs = payload.get("net_kwargs") or {}
     net_kwargs.pop("dtype", None)
@@ -106,6 +109,16 @@ def load_seg_model(model_dir: str, dtype=jnp.float32) -> SegModel:
         dtype=dtype,
         **net_kwargs,
     )
+    state = payload["state_dict"]
+    if "_kernel_layouts" in payload:  # written by this framework
+        variables = model_io.unflatten_state_dict(
+            state, payload["_kernel_layouts"])
+    else:  # reference-trained checkpoint: positional structural import
+        from segmentation3d_tpu.compat.torch_import import import_torch_state_dict
+        ms = int(payload["max_stride"])
+        example = (1, ms, ms, ms, int(payload["in_channels"]))
+        variables = import_torch_state_dict(state, net, example)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
     normalizers = [normalizer_from_dict(d) for d in payload["crop_normalizers"]]
     return SegModel(
         net=net, variables=variables,

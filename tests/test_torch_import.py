@@ -53,6 +53,35 @@ def test_import_genuine_torch_vnet():
     assert agree == 1.0, f"argmax agreement {agree}"
 
 
+def test_load_seg_model_with_reference_named_checkpoint(tmp_path):
+    """A reference-style checkpoint (torch-saved, foreign module names) loads
+    through load_seg_model's positional-import fallback and runs inference."""
+    from torch_vnet_ref import TorchVNet
+    torch.manual_seed(1)
+    tnet = TorchVNet(in_ch=1, out_ch=2, base=4).eval()
+    payload = {
+        "epoch_idx": 100, "batch_idx": 999, "net": "vnet", "max_stride": 16,
+        "state_dict": tnet.state_dict(),
+        "spacing": [1.0, 1.0, 1.0], "interpolation": "LINEAR",
+        "in_channels": 1, "out_channels": 2,
+        "crop_normalizers": [{"type": 0, "mean": 0.0, "stddev": 1.0, "clip": True}],
+        "net_kwargs": {"base_channels": 4},
+    }
+    chk = tmp_path / "refmodel" / "checkpoints" / "chk_100"
+    chk.mkdir(parents=True)
+    torch.save(payload, str(chk / "params.pth"))
+
+    from segmentation3d_tpu.core.seg_infer import load_seg_model
+    model = load_seg_model(str(tmp_path / "refmodel"))
+    assert model.epoch_idx == 100
+    x = np.random.default_rng(0).normal(size=(1, 16, 16, 16, 1)).astype(np.float32)
+    ours = np.asarray(model.net.apply(model.variables, jnp.asarray(x), train=False))
+    with torch.no_grad():
+        theirs = tnet(torch.tensor(x.transpose(0, 4, 1, 2, 3)))
+    theirs = theirs.numpy().transpose(0, 2, 3, 4, 1)
+    np.testing.assert_allclose(ours, theirs, atol=2e-4)
+
+
 def test_import_rejects_wrong_count_and_shape():
     net = SegmentationNet(in_channels=1, out_channels=2, base_channels=4)
     x_shape = (1, 16, 16, 16, 1)
