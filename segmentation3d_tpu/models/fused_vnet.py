@@ -49,14 +49,24 @@ def _xla_conv(x, w, b, strides=(1, 1, 1), padding="SAME", dtype=jnp.bfloat16):
 
 
 def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
-                        use_pallas: bool = False, interpret: bool = False):
-    # use_pallas default False: measured in-context on TPU v5e, BN-folded XLA
-    # convs run the full V-Net at 14.8 ms/patch (96^3, b8) vs 17.5 with the
-    # Pallas thin-conv routing — the kernel wins in isolation (11.2 vs 21.4
-    # ms) but its entry/exit layout traffic breaks XLA fusion in-net. Keep
-    # the kernel opt-in until it consumes/produces packed layouts end-to-end.
+                        use_pallas: bool | None = None, interpret: bool = False,
+                        pallas_sites: frozenset | None = None):
+    # Per-site in-context measurements on TPU v5e (96^3 b8 full forward,
+    # BN-folded XLA baseline 118.2 ms): pallas@head 107.8 (WIN — the 32->2
+    # output conv is pathological for XLA's lane padding), pallas@stem 120.4
+    # and pallas@res 125.9 (LOSE — entry/exit layout traffic breaks XLA
+    # fusion despite 2-3x isolated kernel wins). Default therefore routes
+    # only the head; pass use_pallas=True for all sites or pallas_sites={...}
+    # for explicit control. Round-2: chain packed layouts to flip res/stem.
     """Build the fused apply function. Captures folded weights as constants
     of the returned closure (re-build after loading new variables)."""
+    if pallas_sites is None:
+        if use_pallas is None:
+            pallas_sites = frozenset({"head"})
+        elif use_pallas:
+            pallas_sites = frozenset({"stem", "res", "head"})
+        else:
+            pallas_sites = frozenset()
     if net.bottleneck:
         raise NotImplementedError("fused forward supports the standard "
                                   "(non-bottleneck) V-Net blocks")
@@ -75,7 +85,7 @@ def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
             return float(jnp.reshape(pp[name]["alpha"], ())[...])
         return 0.25
 
-    def conv_bn_act(x, pp, ss, act=True, pname="act"):
+    def conv_bn_act(x, pp, ss, act=True, pname="act", site="res"):
         w, b = folded(pp, ss)
         cout = w.shape[-1]
         kind = act_kind if act else "none"
@@ -83,7 +93,8 @@ def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
         # VMEM bound: the v3 kernel holds (H+2)*W*Cin bf16 planes x3 x2
         # buffers; route big planes (e.g. full-XY slabs) to XLA instead.
         plane_ok = (x.shape[2] + 2) * x.shape[3] * max(cin_eff(w), 8) <= 1_600_000
-        if (use_pallas and w.shape[:3] == (3, 3, 3) and cout <= PALLAS_COUT_MAX
+        routed = site in pallas_sites
+        if (routed and w.shape[:3] == (3, 3, 3) and cout <= PALLAS_COUT_MAX
                 and x.shape[3] >= 8 and plane_ok):
             return thin_conv3d(x.astype(dtype), w, b, act=kind, alpha=alpha,
                                out_dtype=dtype, interpret=interpret)
@@ -119,7 +130,8 @@ def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
         x = x.astype(dtype)
         c = base
         skips = []
-        x = conv_bn_act(x, p["in_block"]["conv"], s["in_block"]["conv"])
+        x = conv_bn_act(x, p["in_block"]["conv"], s["in_block"]["conv"],
+                        site="stem")
         skips.append(x)
         n = len(down_convs)
         for i, nconv in enumerate(down_convs):
@@ -138,7 +150,7 @@ def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
             x = res_block(x, pp["res"], ss["res"], nconv)
             c //= 2
         pp, ss = p["out_block"], s["out_block"]
-        x = conv_bn_act(x, pp["conv"], ss["conv"])
+        x = conv_bn_act(x, pp["conv"], ss["conv"], site="head")
         logits = _xla_conv(x, pp["proj"]["kernel"], pp["proj"]["bias"])
         if return_logits:
             return logits
