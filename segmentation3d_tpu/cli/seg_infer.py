@@ -43,6 +43,9 @@ def main(argv=None):
                         help="connected-component post-processing")
     parser.add_argument("--post_threshold", type=int, default=64)
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    parser.add_argument("--num_devices", type=int, default=1,
+                        help=">1 or -1 (all): shard each volume's patch "
+                             "batches over a TPU mesh")
     parser.add_argument("--fine_model", default=None,
                         help="enable coarse-to-fine: -m is the coarse model, "
                              "this is the fine model directory")
@@ -76,6 +79,7 @@ def main(argv=None):
         partition_stride=args.partition_stride, batch_size=args.batch_size,
         blend=args.blend, post_processing=post,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        num_devices=args.num_devices,
     )
 
 

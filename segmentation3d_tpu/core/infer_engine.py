@@ -13,9 +13,13 @@ Here the entire volume pass is ONE jitted program:
 - argmax and the weight division happen on device; only the final mask
   leaves the chip.
 
-The patch batch axis is shardable over a ``data`` mesh, so multi-chip
-inference parallelizes across patches with an ``all_gather`` of blended
-results inserted by XLA.
+Multi-chip: pass ``mesh=`` (a 1-D ``data`` mesh). The box-batch axis is then
+split over the mesh with ``shard_map`` — each chip scans its own share of
+patch batches into a local (prob, wsum) accumulator pair, and ONE ``psum``
+per volume merges the accumulators over ICI (weighted blending is a sum of
+``w*p`` terms, so the merge is exact up to float reduction order). The
+volume itself is replicated; sharding ONE huge volume spatially lives in
+:mod:`segmentation3d_tpu.core.spatial_shard`.
 """
 from __future__ import annotations
 
@@ -24,6 +28,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from segmentation3d_tpu.ops.geometry import partition_boxes
 
@@ -53,7 +58,8 @@ class SlidingWindowInferer:
     """
 
     def __init__(self, net, patch_size_zyx, num_classes, batch_size=8,
-                 blend="gaussian", out_dtype=jnp.float32, apply_fn=None):
+                 blend="gaussian", out_dtype=jnp.float32, apply_fn=None,
+                 mesh=None):
         self.net = net
         self.apply_fn = apply_fn  # overrides net.apply (e.g. fused forward)
         self.patch_size = tuple(int(v) for v in patch_size_zyx)
@@ -61,6 +67,8 @@ class SlidingWindowInferer:
         self.batch_size = int(batch_size)
         self.weight = jnp.asarray(make_weight_map(self.patch_size, blend))
         self.out_dtype = out_dtype
+        # multi-chip: split the box-batch axis over mesh axis "data"
+        self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
 
     def boxes_for(self, vol_shape_zyx, stride_zyx=None):
         """Patch start coordinates (N,3) zyx for a volume shape."""
@@ -71,9 +79,12 @@ class SlidingWindowInferer:
         boxes_xyz = partition_boxes(size_xyz, (pw, ph, pd), np.asarray(stride_zyx)[::-1])
         return np.ascontiguousarray(boxes_xyz[:, ::-1])  # -> zyx starts
 
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def _run(self, variables, vol, boxes, box_mask):
-        """vol: [D,H,W,Cin]; boxes: [NB, B, 3] zyx starts; box_mask: [NB, B]."""
+    def _accumulate(self, variables, vol, boxes, box_mask):
+        """Scan forward+paste over box batches into LOCAL accumulators.
+
+        vol: [D,H,W,Cin]; boxes: [NB, B, 3] zyx starts; box_mask: [NB, B].
+        Returns (prob [D,H,W,NC], wsum [D,H,W,1]) — unnormalized.
+        """
         pd, ph, pw = self.patch_size
         cin = vol.shape[-1]
         nc = self.num_classes
@@ -111,9 +122,42 @@ class SlidingWindowInferer:
             return (prob, wsum), None
 
         (prob, wsum), _ = jax.lax.scan(body, (prob, wsum), (boxes, box_mask))
+        return prob, wsum
+
+    @staticmethod
+    def _finalize(prob, wsum):
         prob = prob / jnp.maximum(wsum, 1e-8)
         mask = jnp.argmax(prob, axis=-1).astype(jnp.uint8)
         return prob, mask
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _run(self, variables, vol, boxes, box_mask):
+        prob, wsum = self._accumulate(variables, vol, boxes, box_mask)
+        return self._finalize(prob, wsum)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _run_sharded(self, variables, vol, boxes, box_mask):
+        """Patch-parallel multi-chip run: boxes [NB, B, 3] with NB divisible
+        by the mesh size. Each device scans NB/n_dev box batches locally;
+        one psum over ICI merges the (prob, wsum) accumulators (SURVEY.md
+        C11/P2: patches pjit-forwarded across the mesh, results gathered by
+        a collective)."""
+
+        def local(variables, vol, bxs, msk):
+            prob, wsum = self._accumulate(variables, vol, bxs, msk)
+            prob = jax.lax.psum(prob, "data")
+            wsum = jax.lax.psum(wsum, "data")
+            return prob, wsum
+
+        # check_vma=False: the scan carry starts as replicated zeros and
+        # becomes device-varying after the first paste of a sharded patch —
+        # exactly the intent, but the varying-manual-axes checker rejects the
+        # carry type change.
+        prob, wsum = jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(), P(), P("data"), P("data")),
+            out_specs=(P(), P()), check_vma=False)(variables, vol, boxes, box_mask)
+        return self._finalize(prob, wsum)
 
     def __call__(self, variables, vol, stride_zyx=None, return_prob=False):
         """Run sliding-window inference on a device volume [D,H,W,Cin].
@@ -126,13 +170,24 @@ class SlidingWindowInferer:
         n = len(boxes)
         b = min(self.batch_size, n)
         nb = -(-n // b)
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        nb = -(-nb // n_dev) * n_dev  # box batches divide evenly over chips
         padded = np.zeros((nb * b, 3), np.int32)
         padded[:n] = boxes
         mask = np.zeros((nb * b,), np.float32)
         mask[:n] = 1.0
         boxes_d = jnp.asarray(padded.reshape(nb, b, 3))
         mask_d = jnp.asarray(mask.reshape(nb, b))
-        prob, seg = self._run(variables, vol, boxes_d, mask_d)
+        if self.mesh is not None:
+            shard = NamedSharding(self.mesh, P("data"))
+            repl = NamedSharding(self.mesh, P())
+            boxes_d = jax.device_put(boxes_d, shard)
+            mask_d = jax.device_put(mask_d, shard)
+            vol = jax.device_put(vol, repl)
+            variables = jax.device_put(variables, repl)
+            prob, seg = self._run_sharded(variables, vol, boxes_d, mask_d)
+        else:
+            prob, seg = self._run(variables, vol, boxes_d, mask_d)
         if return_prob:
             return seg, prob
         return seg

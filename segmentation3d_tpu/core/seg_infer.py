@@ -237,7 +237,8 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
                  gpu_id=0, save_image=False, save_prob=False,
                  partition_type=DISABLE, partition_size=None, partition_stride=None,
                  batch_size=8, blend="gaussian", post_processing=None,
-                 dtype=jnp.float32, fused=None, shape_bucket=64):
+                 dtype=jnp.float32, fused=None, shape_bucket=64,
+                 num_devices=1):
     """Segment all cases found at ``input_path`` — the reference's public
     entry (``core/seg_infer.py:segmentation`` ≈L270-340).
 
@@ -246,9 +247,17 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     (fixed ``partition_size``/``partition_stride`` boxes), NUM.
     ``fused``: route the forward through the BN-folded Pallas path
     (default: on for bfloat16 on TPU).
+    ``num_devices``: >1 or -1 (= all) splits each volume's patch batches
+    over a ``data`` mesh (one psum of the blend accumulators per volume).
     """
     del gpu_id
     model = load_seg_model(model_dir, dtype=dtype)
+    mesh = None
+    if num_devices is not None and (num_devices > 1 or num_devices < 0):
+        from segmentation3d_tpu.parallel import make_mesh
+        m = make_mesh(num_devices)
+        if m.devices.size > 1:
+            mesh = m
     apply_fn = None
     if fused is None:
         import jax
@@ -322,7 +331,7 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
             inferers[key] = SlidingWindowInferer(
                 model.net, patch, model.out_channels,
                 batch_size=batch_size, blend=blend if stride != patch else "constant",
-                apply_fn=apply_fn)
+                apply_fn=apply_fn, mesh=mesh)
         inferer = inferers[key]
 
         mask_vol, prob_out, native, secs = segmentation_one_case(

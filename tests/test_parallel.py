@@ -74,18 +74,57 @@ def test_sharded_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
-def test_sharded_inference_engine():
-    """Patch batches shard over the mesh; result identical to single device."""
-    from segmentation3d_tpu.core.infer_engine import SlidingWindowInferer
+class _IdentityNet:
+    """Fake net: class-1 probability == input voxel value (exact blend oracle)."""
 
-    class _Net:
-        def apply(self, variables, x, train=False):
-            v = x[..., :1]
-            return jnp.concatenate([1.0 - v, v], axis=-1)
+    def apply(self, variables, x, train=False):
+        v = x[..., :1]
+        return jnp.concatenate([1.0 - v, v], axis=-1)
+
+
+def test_inference_engine_whole_volume():
+    """Single-device engine: constant-blend non-overlap tiling is exact."""
+    from segmentation3d_tpu.core.infer_engine import SlidingWindowInferer
 
     vol = jnp.asarray(np.random.default_rng(0).uniform(0.2, 0.8, (16, 16, 16, 1)),
                       jnp.float32)
-    inf = SlidingWindowInferer(_Net(), (8, 8, 8), 2, batch_size=8, blend="constant")
+    inf = SlidingWindowInferer(_IdentityNet(), (8, 8, 8), 2, batch_size=8,
+                               blend="constant")
     _, prob = inf(None, vol, stride_zyx=(8, 8, 8), return_prob=True)
     np.testing.assert_allclose(np.asarray(prob[..., 1]), np.asarray(vol[..., 0]),
                                atol=1e-5)
+
+
+def test_sharded_inference_engine():
+    """mesh= REALLY splits the box-batch axis: each of the 8 devices scans
+    NB/8 box batches (observed at trace time inside shard_map), and the
+    blended result matches the single-device engine."""
+    from segmentation3d_tpu.core.infer_engine import SlidingWindowInferer
+
+    vol = jnp.asarray(np.random.default_rng(1).uniform(0.2, 0.8, (16, 16, 16, 1)),
+                      jnp.float32)
+    # stride 4 -> 27 overlapping boxes; batch 2 -> 14 box batches -> padded
+    # to 16 over the 8-device mesh -> per-device share must be 2
+    single = SlidingWindowInferer(_IdentityNet(), (8, 8, 8), 2, batch_size=2,
+                                  blend="gaussian")
+    sharded = SlidingWindowInferer(_IdentityNet(), (8, 8, 8), 2, batch_size=2,
+                                   blend="gaussian", mesh=make_mesh(8))
+    assert sharded.mesh is not None
+
+    traced_box_shapes = []
+    orig = sharded._accumulate
+
+    def spy(variables, v, boxes, mask):
+        traced_box_shapes.append(tuple(boxes.shape))
+        return orig(variables, v, boxes, mask)
+
+    sharded._accumulate = spy
+
+    s1, p1 = single(None, vol, stride_zyx=(4, 4, 4), return_prob=True)
+    s8, p8 = sharded(None, vol, stride_zyx=(4, 4, 4), return_prob=True)
+
+    assert traced_box_shapes == [(2, 2, 3)], (
+        f"per-device box-batch shard should be [NB/8=2, B=2, 3], traced "
+        f"{traced_box_shapes}")
+    np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(s8), np.asarray(s1))
