@@ -28,7 +28,10 @@ def template_entries(net, example_shape):
     x = jnp.zeros(example_shape, jnp.float32)
     variables = net.init(jax.random.PRNGKey(0), x, train=False)
     state, layouts = model_io.flatten_variables(variables)
-    return [(k, np.asarray(v).shape, layouts[k]) for k, v in state.items()], variables
+    # num_batches_tracked is emitted for reference-side strict restores but
+    # has no flax equivalent — not part of the positional template
+    return [(k, np.asarray(v).shape, layouts[k]) for k, v in state.items()
+            if not k.endswith("num_batches_tracked")], variables
 
 
 def _is_stat(key: str) -> bool:

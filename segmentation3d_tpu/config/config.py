@@ -3,9 +3,9 @@
 The reference's config **is a Python file** defining ``cfg = __C`` as an
 ``easydict.EasyDict`` with sections ``general / dataset / loss / net / train /
 debug`` (``segmentation3d/config/config.py`` template ≈L1-80). We keep that
-contract exactly — reference configs execute unmodified (an ``easydict`` shim
-is injected when the real package is absent; see
-:mod:`segmentation3d_tpu.compat.easydict_shim`).
+contract exactly — reference configs execute unmodified (an ``easydict``
+import shim is injected when the real package is absent; see
+``segmentation3d_tpu.utils.file_io._install_compat_shims``).
 
 ``default_config()`` returns a template with every field the reference
 template carries, plus TPU-native extensions under ``cfg.tpu`` (mesh shape,

@@ -160,13 +160,13 @@ class _ReadAhead:
         return self
 
     def __next__(self):
+        """Yields (paths, vols, read_error); one unreadable case must not
+        abort the batch run (the reference's per-case loop fails at worst
+        one case, SURVEY.md §3.2) — the caller decides."""
         item = self.q.get()
         if item is None:
             raise StopIteration
-        paths, vols, err = item
-        if err is not None:
-            raise err
-        return paths, vols
+        return item
 
 
 def segmentation_one_case(model: SegModel, image_paths, inferer: SlidingWindowInferer,
@@ -188,20 +188,29 @@ def segmentation_one_case(model: SegModel, image_paths, inferer: SlidingWindowIn
         f"model expects {model.in_channels} modalities, got {len(vols)}")
 
     pad_mult = max(model.max_stride, int(shape_bucket or 0))
-    # resample each modality to model spacing (pad to x bucket) + normalize
+    # Resample modality 0 to model spacing (pad to x bucket); remaining
+    # modalities are resampled ONTO THAT SAME iso grid so modalities with
+    # shifted native frames stay registered in world space (each modality
+    # resampled onto its own grid would silently discard the offset).
     channels = []
-    iso_frame = None
+    iso_frame = iso_size = None
     from segmentation3d_tpu.ops.geometry import resampled_frame
     from segmentation3d_tpu.utils.normalizer import AdaptiveNormalizer
+    # valid (unpadded) region of the shared iso grid, for adaptive stats
+    _, valid = resampled_frame(vols[0].frame, vols[0].size_xyz, model.spacing, 1)
     for mi, v in enumerate(vols):
-        iso, iso_frame, iso_size = resample_spacing(
-            v.data, v.frame, model.spacing, pad_to_multiple=pad_mult,
-            interp=model.interpolation, fill=fill_value)
+        if mi == 0:
+            iso, iso_frame, iso_size = resample_spacing(
+                v.data, v.frame, model.spacing, pad_to_multiple=pad_mult,
+                interp=model.interpolation, fill=fill_value)
+        else:
+            iso = resample_to_frame(
+                v.data, v.frame, iso_frame, iso_size,
+                interp=model.interpolation, fill=fill_value)
         norm = model.normalizers[mi]
         if isinstance(norm, AdaptiveNormalizer):
             # percentile window from the VALID region only — bucket padding
             # (fill voxels) must not skew the intensity statistics
-            _, valid = resampled_frame(v.frame, v.size_xyz, model.spacing, 1)
             iso = norm(iso, stats_of=iso[:valid[2], :valid[1], :valid[0]])
         elif norm is not None:
             iso = norm(iso)
@@ -276,12 +285,17 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
 
     inferers = {}
     results = []
-    for image_paths, vols in _ReadAhead(cases):
+    failures = []
+    for image_paths, vols, read_err in _ReadAhead(cases):
         case_name = os.path.basename(image_paths[0])
         for suf in IMAGE_EXTS:
             if case_name.endswith(suf):
                 case_name = case_name[: -len(suf)]
                 break
+        if read_err is not None:
+            print(f"ERROR: skipping {case_name}: {read_err}")
+            failures.append((case_name, read_err))
+            continue
 
         pad_mult = max(model.max_stride, int(shape_bucket or 0))
         v0 = vols[0]
@@ -334,19 +348,26 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
                 apply_fn=apply_fn, mesh=mesh)
         inferer = inferers[key]
 
-        mask_vol, prob_out, native, secs = segmentation_one_case(
-            model, image_paths, inferer, stride_zyx=stride,
-            save_prob=save_prob, post_processing=post_processing,
-            shape_bucket=shape_bucket, vols=vols)
+        try:
+            mask_vol, prob_out, native, secs = segmentation_one_case(
+                model, image_paths, inferer, stride_zyx=stride,
+                save_prob=save_prob, post_processing=post_processing,
+                shape_bucket=shape_bucket, vols=vols)
 
-        case_dir = os.path.join(output_dir, case_name)
-        write_image(mask_vol, os.path.join(case_dir, seg_name))
-        if save_image:
-            write_image(native, os.path.join(case_dir, "org.mha"))
-        if prob_out:
-            for c, p in prob_out:
-                write_image(Volume(p, native.frame),
-                            os.path.join(case_dir, f"prob_{c}.mha"))
+            case_dir = os.path.join(output_dir, case_name)
+            write_image(mask_vol, os.path.join(case_dir, seg_name))
+            if save_image:
+                write_image(native, os.path.join(case_dir, "org.mha"))
+            if prob_out:
+                for c, p in prob_out:
+                    write_image(Volume(p, native.frame),
+                                os.path.join(case_dir, f"prob_{c}.mha"))
+        except Exception as e:
+            print(f"ERROR: segmentation of {case_name} failed: {e}")
+            failures.append((case_name, e))
+            continue
         print(f"segmentation of {case_name}: {secs:.2f} s")
         results.append((case_name, secs))
+    if failures and not results:
+        raise failures[0][1]  # everything failed: not a per-case hiccup
     return results

@@ -74,8 +74,13 @@ class _BatchPrefetcher:
             except StopIteration:
                 self.q.put(None)
                 return
-            batch = self.dataset.batch(idxs)
-            images, segs = shard_batch((batch[0], batch[1]), self.mesh)
+            try:
+                batch = self.dataset.batch(idxs)
+                images, segs = shard_batch((batch[0], batch[1]), self.mesh)
+            except Exception as e:  # surface in the train loop, not a hang:
+                # a dead prefetch thread would block q.get() forever
+                self.q.put(e)
+                return
             self.q.put((images, segs, batch[2], batch[3]))
 
     def stop(self):
@@ -93,6 +98,8 @@ class _BatchPrefetcher:
         item = self.q.get()
         if item is None:
             raise StopIteration
+        if isinstance(item, Exception):
+            raise RuntimeError(f"batch assembly failed: {item}") from item
         return item
 
 
@@ -244,6 +251,26 @@ def train(config_file: str):
                 f"{n_dev} device(s), net {cfg.net.name}, loss {cfg.loss.name}")
     prefetcher = _BatchPrefetcher(dataset, indices, batchsize, mesh,
                                   depth=max(1, int(cfg.train.get("num_threads", 1))))
+
+    # Loss readback is DEFERRED: float(loss) every step forces a device
+    # round-trip (25-70 ms on the relay) inside a ~0.4 s step. Device
+    # scalars are buffered and flushed every `log_every` steps and at save
+    # points — identical log lines / train_loss.csv rows, just written in
+    # small bursts.
+    log_every = max(1, int(cfg.get("tpu", {}).get("log_every", 8)))
+    pending = []  # (epoch_idx, batch_idx, device_loss, step_seconds)
+
+    def flush_logs():
+        if not pending:
+            return
+        vals = jax.device_get([p[2] for p in pending])
+        with open(loss_csv, "a") as f:
+            for (ep, bi, _, dt), lv in zip(pending, vals):
+                logger.info(f"epoch: {ep}, batch: {bi}, "
+                            f"train loss: {float(lv):.4f}, time: {dt:.4f} s")
+                f.write(f"{ep},{bi},{float(lv)}\n")
+        pending.clear()
+
     while batch_idx < total_batches:
         t0 = time.time()
         try:
@@ -252,14 +279,12 @@ def train(config_file: str):
             break
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state, images, segs)
-        loss_val = float(loss)
         dt = time.time() - t0
 
         epoch_idx = (batch_idx * batchsize) // dataset_len
-        logger.info(f"epoch: {epoch_idx}, batch: {batch_idx}, "
-                    f"train loss: {loss_val:.4f}, time: {dt:.4f} s")
-        with open(loss_csv, "a") as f:
-            f.write(f"{epoch_idx},{batch_idx},{loss_val}\n")
+        pending.append((epoch_idx, batch_idx, loss, dt))
+        if len(pending) >= log_every:
+            flush_logs()
 
         if cfg.debug.get("save_inputs", False):
             from segmentation3d_tpu.io import Volume, write_image
@@ -274,12 +299,14 @@ def train(config_file: str):
 
         if epoch_idx != prev_epoch and epoch_idx % save_epochs == 0 \
                 and epoch_idx != last_saved_epoch:
+            flush_logs()  # csv/logs complete up to every checkpoint
             save(epoch_idx, batch_idx)
             last_saved_epoch = epoch_idx
         prev_epoch = epoch_idx
         batch_idx += 1
 
     prefetcher.stop()
+    flush_logs()
     final_epoch = (batch_idx * batchsize) // dataset_len
     if final_epoch != last_saved_epoch:
         save(final_epoch, max(batch_idx - 1, 0))

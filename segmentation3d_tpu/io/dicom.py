@@ -1,12 +1,15 @@
-"""Minimal DICOM series reader (CT/MR volumes), numpy-only.
+"""Minimal DICOM series reader + writer (CT/MR volumes), numpy-only.
 
 Covers the reference's ``utils/dicom_helper.py`` capability (SURVEY.md C15
-[L]): read a folder of single-frame DICOM slices into one volume + frame.
+[L], "read/write DICOM series"): read a folder of single-frame DICOM slices
+into one volume + frame, and write a volume back out as an explicit-VR-LE
+secondary-capture series (one file per slice, int16 pixels with rescale
+slope/intercept).
 
-Supported: DICM part-10 files, explicit/implicit VR little endian, native
-(uncompressed) PixelData, MONOCHROME photometric interpretation. Slices are
-sorted by ImagePositionPatient along the slice normal; rescale slope/intercept
-applied. Compressed transfer syntaxes raise a clear error.
+Supported reading: DICM part-10 files, explicit/implicit VR little endian,
+native (uncompressed) PixelData, MONOCHROME photometric interpretation.
+Slices are sorted by ImagePositionPatient along the slice normal; rescale
+slope/intercept applied. Compressed transfer syntaxes raise a clear error.
 """
 from __future__ import annotations
 
@@ -184,3 +187,104 @@ def read_dicom_series(folder: str):
     direction = np.stack([row_dir, col_dir, normal], axis=1)
     spacing = np.asarray([sp_rc[1], sp_rc[0], abs(dz)])
     return data, Frame(origin, spacing, direction)
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+_SC_SOP_CLASS = "1.2.840.10008.5.1.4.1.1.7"  # secondary capture
+_EXPLICIT_LE = "1.2.840.10008.1.2.1"
+
+
+def _new_uid() -> str:
+    """UUID-derived UID under the standard 2.25 OID arc."""
+    import uuid
+    return f"2.25.{uuid.uuid4().int}"
+
+
+def _pad(value: bytes, vr: bytes) -> bytes:
+    if len(value) % 2:
+        value += b"\x00" if vr in (b"UI", b"OB") else b" "
+    return value
+
+
+def _elem(group: int, elem: int, vr: bytes, value: bytes) -> bytes:
+    """One explicit-VR-LE data element."""
+    value = _pad(value, vr)
+    if vr in _EXPLICIT_LONG_VRS:
+        return struct.pack("<HH2sHI", group, elem, vr, 0, len(value)) + value
+    return struct.pack("<HH2sH", group, elem, vr, len(value)) + value
+
+
+def _ds(*vals) -> bytes:
+    return "\\".join(f"{v:.10g}" for v in vals).encode("ascii")
+
+
+def write_dicom_series(folder: str, data: np.ndarray, frame: Frame,
+                       series_uid: str | None = None) -> list[str]:
+    """Write ``data [z,y,x]`` as one explicit-VR-LE DICOM file per slice.
+
+    Float data is linearly quantized to int16 and the inverse map recorded
+    as RescaleSlope/RescaleIntercept, so ``read_dicom_series`` (or any DICOM
+    viewer) reconstructs the original values to ~1/65000 of the range.
+    Returns the written file paths in slice order.
+    """
+    data = np.asarray(data)
+    if data.ndim != 3:
+        raise ValueError(f"expected [z,y,x] volume, got shape {data.shape}")
+    os.makedirs(folder, exist_ok=True)
+    series_uid = series_uid or _new_uid()
+
+    dmin, dmax = float(data.min()), float(data.max())
+    integral = np.issubdtype(data.dtype, np.integer)
+    if integral and dmin >= -32768 and dmax <= 32767:
+        slope, intercept = 1.0, 0.0
+        stored = data.astype(np.int16)
+    else:
+        rng = max(dmax - dmin, 1e-12)
+        slope = rng / 65000.0
+        intercept = (dmin + dmax) / 2.0
+        stored = np.clip(np.rint((data - intercept) / slope),
+                         -32500, 32500).astype(np.int16)
+
+    d = frame.direction
+    sx, sy, sz = (float(s) for s in frame.spacing)
+    orient = _ds(*d[:, 0], *d[:, 1])             # row dir (x), col dir (y)
+    nz, rows, cols = data.shape
+    paths = []
+    for k in range(nz):
+        pos = np.asarray(frame.origin) + k * sz * d[:, 2]
+        sop_uid = f"{series_uid}.{k + 1}"
+        body = b"".join([
+            _elem(0x0008, 0x0016, b"UI", _SC_SOP_CLASS.encode()),
+            _elem(0x0008, 0x0018, b"UI", sop_uid.encode()),
+            _elem(0x0020, 0x000E, b"UI", series_uid.encode()),
+            _elem(0x0020, 0x0013, b"IS", str(k + 1).encode()),
+            _elem(0x0020, 0x0032, b"DS", _ds(*pos)),
+            _elem(0x0020, 0x0037, b"DS", orient),
+            _elem(0x0028, 0x0002, b"US", struct.pack("<H", 1)),
+            _elem(0x0028, 0x0004, b"CS", b"MONOCHROME2"),
+            _elem(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
+            _elem(0x0028, 0x0011, b"US", struct.pack("<H", cols)),
+            _elem(0x0028, 0x0030, b"DS", _ds(sy, sx)),   # row\col spacing
+            _elem(0x0028, 0x0100, b"US", struct.pack("<H", 16)),
+            _elem(0x0028, 0x0101, b"US", struct.pack("<H", 16)),
+            _elem(0x0028, 0x0102, b"US", struct.pack("<H", 15)),
+            _elem(0x0028, 0x0103, b"US", struct.pack("<H", 1)),
+            _elem(0x0028, 0x1052, b"DS", _ds(intercept)),
+            _elem(0x0028, 0x1053, b"DS", _ds(slope)),
+            _elem(0x7FE0, 0x0010, b"OW", stored[k].tobytes()),
+        ])
+        meta_tail = b"".join([
+            _elem(0x0002, 0x0002, b"UI", _SC_SOP_CLASS.encode()),
+            _elem(0x0002, 0x0003, b"UI", sop_uid.encode()),
+            _elem(0x0002, 0x0010, b"UI", _EXPLICIT_LE.encode()),
+        ])
+        meta = _elem(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_tail))) \
+            + meta_tail
+        path = os.path.join(folder, f"slice_{k + 1:04d}.dcm")
+        with open(path, "wb") as f:
+            f.write(b"\x00" * 128 + b"DICM" + meta + body)
+        paths.append(path)
+    return paths

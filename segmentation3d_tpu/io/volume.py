@@ -34,7 +34,10 @@ class Volume:
         return Volume(self.data.astype(dtype), self.frame)
 
 
-_NIFTI_EXTS = (".nii", ".nii.gz", ".hdr", ".img")
+# single-file NIfTI-1 only; two-file .hdr/.img ANALYZE pairs are NOT
+# supported (reading a .hdr would miss the pixel data in the .img, and
+# writing would emit a malformed n+1 single file under a .hdr name)
+_NIFTI_EXTS = (".nii", ".nii.gz")
 _MHA_EXTS = (".mha", ".mhd")
 
 

@@ -24,10 +24,6 @@ from segmentation3d_tpu.ops.pallas_conv import thin_conv3d, fold_bn
 PALLAS_COUT_MAX = 32
 
 
-def cin_eff(w):
-    return w.shape[3]
-
-
 def _act(x, kind, alpha=0.25):
     if kind == "relu":
         return jax.nn.relu(x)
@@ -90,12 +86,12 @@ def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
         cout = w.shape[-1]
         kind = act_kind if act else "none"
         alpha = alpha_of(pp, pname)
-        # VMEM bound: the v3 kernel holds (H+2)*W*Cin bf16 planes x3 x2
-        # buffers; route big planes (e.g. full-XY slabs) to XLA instead.
-        plane_ok = (x.shape[2] + 2) * x.shape[3] * max(cin_eff(w), 8) <= 1_600_000
+        # No VMEM plane bound anymore: thin_conv3d y-tiles planes that don't
+        # fit (full-XY slab stages included), so routing is purely a
+        # which-is-faster decision per site.
         routed = site in pallas_sites
         if (routed and w.shape[:3] == (3, 3, 3) and cout <= PALLAS_COUT_MAX
-                and x.shape[3] >= 8 and plane_ok):
+                and x.shape[3] >= 8):
             return thin_conv3d(x.astype(dtype), w, b, act=kind, alpha=alpha,
                                out_dtype=dtype, interpret=interpret)
         out = _xla_conv(x, w, b)
@@ -116,6 +112,18 @@ def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
         return _act(out, act_kind, alpha_of(pp, act_name)).astype(dtype)
 
     def res_block(x, pp, ss, num_convs):
+        if num_convs == 1 and "res" in pallas_sites:
+            # single-conv residual blocks (all the thin ones in this V-Net)
+            # fuse ENTIRELY into one kernel pass: conv+bn+act+add+act_out,
+            # identity read from the already-resident center plane
+            w, b = folded(pp["conv0"], ss["conv0"])
+            if (w.shape[:3] == (3, 3, 3) and w.shape[3] == w.shape[4]
+                    and w.shape[4] <= PALLAS_COUT_MAX and x.shape[3] >= 8):
+                return thin_conv3d(
+                    x.astype(dtype), w, b, act=act_kind,
+                    alpha=alpha_of(pp["conv0"], "act"), out_dtype=dtype,
+                    interpret=interpret, residual=act_kind,
+                    res_alpha=alpha_of(pp, "act_out"))
         h = x
         for i in range(num_convs):
             h = conv_bn_act(h, pp[f"conv{i}"], ss[f"conv{i}"], act=True)

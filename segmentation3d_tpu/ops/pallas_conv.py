@@ -66,13 +66,15 @@ def fold_bn(w, b, scale, bias, mean, var, eps: float = 1e-5):
 
 
 def _conv_kernel(p0_ref, p1_ref, p2_ref, wc_ref, wl_ref, wr_ref, b_ref,
-                 out_ref, *, H, Wb, L, cin, cout, act, alpha):
+                 out_ref, *, H, Wb, L, cin, cout, act, alpha,
+                 residual="none", res_alpha=0.25):
     """v3 plane kernel — no prebuilt windows.
 
-    p{0,1,2}: z-1/z/z+1 packed planes [1, Wb + H*Wb + Wb + 8, L*Cin]
-    (y-halo = the Wb-row blocks at top/bottom; 8 spare rows allow the ±1-row
-    boundary shifts). One big within-block GEMM (K = 9*L*Cin) plus 18 tiny
-    masked boundary GEMMs handle the x-block edges entirely in-kernel.
+    p{0,1,2}: z-1/z/z+1 packed plane TILES [1, 1, 8 + Wb + H*Wb + Wb + 8,
+    L*Cin] (H here = the y-tile height; y-halo = the Wb-row blocks at
+    top/bottom; 8 spare rows allow the ±1-row boundary shifts). One big
+    within-block GEMM (K = 9*L*Cin) plus 18 tiny masked boundary GEMMs
+    handle the x-block edges entirely in-kernel.
     """
     M = H * Wb
     planes = (p0_ref, p1_ref, p2_ref)
@@ -80,7 +82,7 @@ def _conv_kernel(p0_ref, p1_ref, p2_ref, wc_ref, wl_ref, wr_ref, b_ref,
     base = 8 + Wb  # first data row (y=0)
 
     # center taps: tap dy reads y_in = y_out + dy - 1 -> start base+(dy-1)*Wb
-    center = [planes[t // 3][0, base + ((t % 3) - 1) * Wb:
+    center = [planes[t // 3][0, 0, base + ((t % 3) - 1) * Wb:
                              base + ((t % 3) - 1) * Wb + M, :]
               for t in range(9)]
     a = jnp.concatenate(center, axis=-1)               # [M, 9*L*Cin]
@@ -95,10 +97,10 @@ def _conv_kernel(p0_ref, p1_ref, p2_ref, wc_ref, wl_ref, wr_ref, b_ref,
     # left neighbor block's LAST voxel lives one row up (same y); right
     # neighbor's FIRST voxel one row down — masked at block edges. Two
     # K=9*Cin GEMMs beat 18 tiny dots (measured 7.6 vs 11.0 ms at 96^3/32ch).
-    lparts = [planes[t // 3][0, base + ((t % 3) - 1) * Wb - 1:
+    lparts = [planes[t // 3][0, 0, base + ((t % 3) - 1) * Wb - 1:
                              base + ((t % 3) - 1) * Wb - 1 + M, (L - 1) * cin:]
               for t in range(9)]
-    rparts = [planes[t // 3][0, base + ((t % 3) - 1) * Wb + 1:
+    rparts = [planes[t // 3][0, 0, base + ((t % 3) - 1) * Wb + 1:
                              base + ((t % 3) - 1) * Wb + 1 + M, :cin]
               for t in range(9)]
     lacc = jnp.dot(jnp.concatenate(lparts, axis=-1), wl_ref[:],
@@ -111,21 +113,58 @@ def _conv_kernel(p0_ref, p1_ref, p2_ref, wc_ref, wl_ref, wr_ref, b_ref,
         acc = jnp.maximum(acc, 0.0)
     elif act == "prelu":
         acc = jnp.where(acc >= 0, acc, alpha * acc)
+    if residual != "none":
+        # fused residual block tail (out = act2(x + convbnact(x))): the
+        # identity IS the center z-plane's data rows — zero extra traffic.
+        # Valid only when cin == cout (checked by the caller).
+        ident = p1_ref[0, 0, base:base + M, :].astype(jnp.float32)
+        acc = acc + ident
+        if residual == "relu":
+            acc = jnp.maximum(acc, 0.0)
+        elif residual == "prelu":
+            acc = jnp.where(acc >= 0, acc, res_alpha * acc)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
+def _pick_ht(H, Wp, cin_p, cout_p, budget=10_000_000):
+    """Largest power-of-2 y-tile whose working set (3 input planes double-
+    buffered + output block) fits the VMEM budget (~16 MB total on v5e)."""
+    per_row = (6 * Wp * cin_p + 2 * Wp * cout_p) * 2  # bytes per y-row
+    ht = budget // per_row - 2
+    if ht >= H:
+        return H
+    p = 8
+    while p * 2 <= ht:
+        p *= 2
+    return max(8, min(p, H))
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("act", "out_dtype", "L", "interpret"))
+                   static_argnames=("act", "out_dtype", "L", "interpret", "ht",
+                                    "residual", "alpha", "res_alpha"))
 def thin_conv3d(x, w, b=None, act: str = "none", alpha: float = 0.25,
                 out_dtype=jnp.bfloat16, L: int | None = None,
-                interpret: bool = False):
+                interpret: bool = False, ht: int | None = None,
+                residual: str = "none", res_alpha: float = 0.25):
     """Stride-1 SAME 3x3x3 conv via the lane-packed Pallas kernel.
 
     ``x``: [B, D, H, W, Cin] (bf16/f32); ``w``: [3,3,3,Cin,Cout];
     ``b``: [Cout] or None; ``act``: none | relu | prelu (fused epilogue).
+
+    Planes too big for VMEM (e.g. full-XY 512^2 slab stages) are y-tiled:
+    the grid runs over (b, z, y-tile) and each tile carries its one-row
+    y-halo, so arbitrarily large XY planes stream through the same kernel.
+    ``ht`` overrides the auto-picked tile height.
+
+    ``residual``: none | relu | prelu — fuses a whole single-conv residual
+    block ``act2(x + act(bn_conv(x)))`` into the epilogue (requires
+    cin == cout); the identity is read from the already-resident center
+    plane, so the fusion is free of extra memory traffic.
     """
     B, D, H, W, cin = x.shape
     cout = w.shape[-1]
+    if residual != "none" and cin != cout:
+        raise ValueError(f"fused residual needs cin == cout, got {cin}->{cout}")
     if L is None:
         L = min(32, max(1, 128 // cout))
 
@@ -139,18 +178,31 @@ def thin_conv3d(x, w, b=None, act: str = "none", alpha: float = 0.25,
 
     Wb = Wp // L
     lanes = L * cin_p
+    Ht = int(ht) if ht else _pick_ht(H, Wp, cin_p, cout_p)
+    nH = -(-H // Ht)
+    Hp = nH * Ht
     xq = x.astype(jnp.bfloat16)
     if cin_p != cin:
         xq = jnp.pad(xq, ((0, 0),) * 4 + ((0, cin_p - cin),))
     if Wp != W:
         xq = jnp.pad(xq, ((0, 0),) * 3 + ((0, Wp - W), (0, 0)))
+    if Hp != H:
+        xq = jnp.pad(xq, ((0, 0),) * 2 + ((0, Hp - H), (0, 0), (0, 0)))
     # pack (W, Cin) -> (Wb, L*Cin): byte-identical row-major reshape (free),
     # then one pad supplies the z halo, the y halo (one Wb row-block each
     # side) and the 8 spare rows the boundary shifts read into.
-    xp = xq.reshape(B, D, H * Wb, lanes)
+    xp = xq.reshape(B, D, Hp * Wb, lanes)
     xp = jnp.pad(xp, ((0, 0), (1, 1), (8 + Wb, Wb + 8), (0, 0)))
-    rows_padded = 16 + (H + 2) * Wb
-    xp = xp.reshape(B * (D + 2), rows_padded, lanes)
+    tile_rows = 16 + (Ht + 2) * Wb
+    if nH == 1:
+        xp = xp.reshape(B * (D + 2), 1, tile_rows, lanes)
+    else:
+        # overlapping y-tiles: tile i = padded rows [i*Ht*Wb, i*Ht*Wb +
+        # tile_rows) — each carries its y-halo row-blocks + spare rows.
+        # One gather-style copy (~(Ht+2)/Ht duplication) buys VMEM fit.
+        xp = jnp.stack([xp[:, :, i * Ht * Wb: i * Ht * Wb + tile_rows, :]
+                        for i in range(nH)], axis=2)
+        xp = xp.reshape(B * (D + 2), nH, tile_rows, lanes)
 
     wq = jnp.pad(w, ((0, 0),) * 3 + ((0, cin_p - cin), (0, cout_p - cout)))
     wc, wl, wr = (m.astype(jnp.bfloat16) for m in pack_weights(wq, L))
@@ -159,20 +211,22 @@ def thin_conv3d(x, w, b=None, act: str = "none", alpha: float = 0.25,
     bfull = jnp.tile(bvec, (L,)).reshape(1, L * cout_p)
 
     kern = functools.partial(
-        _conv_kernel, H=H, Wb=Wb, L=L, cin=cin_p, cout=cout_p, act=act, alpha=alpha)
+        _conv_kernel, H=Ht, Wb=Wb, L=L, cin=cin_p, cout=cout_p, act=act,
+        alpha=alpha, residual=residual, res_alpha=res_alpha)
 
-    # grid over flat (b, z); three plane specs (z-1, z, z+1 of the z-padded
-    # volume) give Mosaic's automatic pipeline the halo without overlapping
-    # block indexing, and it double-buffers the plane fetches.
+    # grid over flat (b, z, y-tile); three plane specs (z-1, z, z+1 of the
+    # z-padded volume) give Mosaic's automatic pipeline the halo without
+    # overlapping block indexing, and it double-buffers the plane fetches.
     def plane_spec(k):
         return pl.BlockSpec(
-            (1, rows_padded, lanes),
-            lambda t: (t // D * (D + 2) + t % D + k, 0, 0),
+            (1, 1, tile_rows, lanes),
+            lambda t: ((t // nH) // D * (D + 2) + (t // nH) % D + k,
+                       t % nH, 0, 0),
             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         kern,
-        grid=(B * D,),
+        grid=(B * D * nH,),
         in_specs=[
             plane_spec(0), plane_spec(1), plane_spec(2),
             pl.BlockSpec(memory_space=pltpu.VMEM),    # center weights
@@ -181,17 +235,20 @@ def thin_conv3d(x, w, b=None, act: str = "none", alpha: float = 0.25,
             pl.BlockSpec(memory_space=pltpu.VMEM),    # bias
         ],
         out_specs=pl.BlockSpec(
-            (1, H * Wb, L * cout_p), lambda t: (t, 0, 0),
+            (1, Ht * Wb, L * cout_p), lambda t: (t, 0, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * D, H * Wb, L * cout_p), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((B * D * nH, Ht * Wb, L * cout_p), out_dtype),
         interpret=interpret,
     )(xp, xp, xp, wc, wl, wr, bfull)
-    out = out.reshape(B, D, H, Wb, L, cout_p)[..., :cout]
-    out = out.reshape(B, D, H, Wp, cout)
-    return out[:, :, :, :W] if Wp != W else out
+    out = out.reshape(B, D, Hp, Wb, L, cout_p)[..., :cout]
+    out = out.reshape(B, D, Hp, Wp, cout)
+    if Hp != H or Wp != W:
+        out = out[:, :, :H, :W]
+    return out
 
 
-def thin_conv3d_reference(x, w, b=None, act: str = "none", alpha: float = 0.25):
+def thin_conv3d_reference(x, w, b=None, act: str = "none", alpha: float = 0.25,
+                          residual: str = "none", res_alpha: float = 0.25):
     """XLA reference implementation (same math) for parity tests."""
     out = jax.lax.conv_general_dilated(
         x.astype(jnp.float32), w.astype(jnp.float32), (1, 1, 1), "SAME",
@@ -203,4 +260,10 @@ def thin_conv3d_reference(x, w, b=None, act: str = "none", alpha: float = 0.25):
         out = jnp.maximum(out, 0.0)
     elif act == "prelu":
         out = jnp.where(out >= 0, out, alpha * out)
+    if residual != "none":
+        out = out + x.astype(jnp.float32)
+        if residual == "relu":
+            out = jnp.maximum(out, 0.0)
+        elif residual == "prelu":
+            out = jnp.where(out >= 0, out, res_alpha * out)
     return out

@@ -86,6 +86,12 @@ def flatten_variables(variables) -> tuple[dict, dict]:
         suffix = {"mean": "running_mean", "var": "running_var"}.get(leaf_name, leaf_name)
         state[f"{name}.{suffix}"] = np.asarray(leaf)
         layouts[f"{name}.{suffix}"] = "tensor"
+        if suffix == "running_var":
+            # torch BN modules carry this counter; the reference's strict
+            # net.load_state_dict rejects checkpoints without it (SURVEY.md
+            # C13) — emit it so OUR checkpoints restore into the reference
+            state[f"{name}.num_batches_tracked"] = np.asarray(0, np.int64)
+            layouts[f"{name}.num_batches_tracked"] = "tensor"
     return state, layouts
 
 
@@ -101,8 +107,8 @@ def unflatten_state_dict(state: dict, layouts: dict | None = None):
         node[leaf_name] = value
 
     for key, arr in state.items():
-        if key.startswith("_"):
-            continue
+        if key.startswith("_") or key.endswith("num_batches_tracked"):
+            continue  # torch-only BN counter, no flax equivalent
         parts = key.split(".")
         mods, suffix = parts[:-1], parts[-1]
         arr = np.asarray(arr)
@@ -166,9 +172,14 @@ def save_checkpoint(save_dir: str, epoch_idx: int, batch_idx: int, variables,
         payload.update(extra)
     params_path = os.path.join(chk, "params.pth")
     try:
-        # torch.save produces a file that reference-toolkit users can
-        # torch.load directly (tensors stay numpy; that unpickles fine).
+        # torch.save with REAL torch tensors in state_dict: the reference
+        # toolkit's `net.load_state_dict(torch.load(...)['state_dict'])`
+        # (strict by default) then works on our checkpoints verbatim.
         import torch
+        payload = dict(payload)
+        payload["state_dict"] = {
+            k: torch.as_tensor(np.ascontiguousarray(v))
+            for k, v in state_dict.items()}
         torch.save(payload, params_path)
     except ImportError:
         with open(params_path, "wb") as f:
@@ -182,20 +193,30 @@ def save_checkpoint(save_dir: str, epoch_idx: int, batch_idx: int, variables,
 
 
 def load_checkpoint_payload(chk_dir: str) -> dict:
-    """Read a ``params.pth`` dict (ours, or a torch-saved one via torch.load)."""
+    """Read a ``params.pth`` dict (ours, or a torch-saved one via torch.load).
+
+    Tensor values (from torch-saved files) come back as numpy arrays."""
     path = os.path.join(chk_dir, "params.pth")
     try:
         with open(path, "rb") as f:
-            return pickle.load(f)
-    except Exception:
-        import torch  # reference-trained checkpoint: tensors need torch to unpickle
+            payload = pickle.load(f)
+    except (pickle.UnpicklingError, ModuleNotFoundError, AttributeError,
+            EOFError, ValueError) as pickle_err:
+        # torch-saved file (zip container / torch tensor classes): needs torch
+        try:
+            import torch
+        except ImportError:
+            raise RuntimeError(
+                f"{path} is not a plain pickle (likely torch-saved); install "
+                f"torch to load it, or re-save with the pickle backend"
+            ) from pickle_err
         payload = torch.load(path, map_location="cpu", weights_only=False)
-        sd = payload.get("state_dict", {})
-        payload["state_dict"] = {
-            k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
-            for k, v in sd.items()
-        }
-        return payload
+    sd = payload.get("state_dict", {})
+    payload["state_dict"] = {
+        k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+        for k, v in sd.items()
+    }
+    return payload
 
 
 def load_checkpoint(chk_dir: str):

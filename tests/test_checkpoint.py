@@ -74,7 +74,9 @@ def test_torch_can_read_checkpoint(tmp_path, net_and_vars):
     payload = torch.load(f"{chk}/params.pth", map_location="cpu", weights_only=False)
     assert payload["net"] == "vnet"
     sd = payload["state_dict"]
-    assert all(isinstance(v, np.ndarray) for v in sd.values())
+    # real torch tensors, so the reference's strict load_state_dict accepts
+    # them directly (see test_torch_import.test_reverse_interop_strict_torch_load)
+    assert all(isinstance(v, torch.Tensor) for v in sd.values())
 
 
 def test_torch_saved_checkpoint_loads(tmp_path, net_and_vars):

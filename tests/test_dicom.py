@@ -71,3 +71,34 @@ def test_read_via_dispatch(tmp_path):
     from segmentation3d_tpu.io import read_image
     vol = read_image(str(d))
     assert vol.data.shape == (2, 8, 8)
+
+
+def test_write_read_roundtrip_float(tmp_path):
+    """write_dicom_series -> read_dicom_series reconstructs float data
+    (within int16 rescale quantization) and the exact frame."""
+    from segmentation3d_tpu.io.dicom import write_dicom_series, read_dicom_series
+    from segmentation3d_tpu.ops.geometry import Frame
+
+    rng = np.random.default_rng(0)
+    data = rng.uniform(-800.0, 1200.0, (5, 12, 10)).astype(np.float32)
+    frame = Frame(origin=[3.0, -7.0, 11.0], spacing=[0.7, 0.9, 2.5],
+                  direction=np.eye(3))
+    paths = write_dicom_series(str(tmp_path / "s"), data, frame)
+    assert len(paths) == 5
+    back, bframe = read_dicom_series(str(tmp_path / "s"))
+    assert back.shape == data.shape
+    np.testing.assert_allclose(back, data, atol=(2000.0 / 65000) * 1.01)
+    np.testing.assert_allclose(bframe.origin, frame.origin)
+    np.testing.assert_allclose(bframe.spacing, frame.spacing)
+    np.testing.assert_allclose(bframe.direction, frame.direction, atol=1e-9)
+
+
+def test_write_read_roundtrip_int_exact(tmp_path):
+    """Integer data in int16 range round-trips exactly (slope 1)."""
+    from segmentation3d_tpu.io.dicom import write_dicom_series, read_dicom_series
+    from segmentation3d_tpu.ops.geometry import Frame
+
+    data = np.arange(-6, 6 * 7 * 8 - 6, dtype=np.int32).reshape(6, 7, 8) % 2000 - 500
+    write_dicom_series(str(tmp_path / "s2"), data, Frame.identity())
+    back, _ = read_dicom_series(str(tmp_path / "s2"))
+    np.testing.assert_array_equal(back.astype(np.int32), data)

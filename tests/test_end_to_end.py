@@ -165,3 +165,50 @@ def test_infer_on_folder(trained_model, tmp_path):
                            batch_size=1)
     assert len(results) == 2
     assert sorted(os.listdir(out)) == ["a", "b"]
+
+
+def test_corrupt_case_is_skipped_not_fatal(trained_model, tmp_path):
+    """One unreadable file among many must fail ONLY that case (the
+    reference's per-case loop semantics, SURVEY.md §3.2) — the others still
+    produce segmentations, and the bad case is reported."""
+    root, cases, save_dir, _ = trained_model
+    import shutil
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    shutil.copy(cases[0][0][0], folder / "a.nii.gz")
+    with open(folder / "b.nii.gz", "wb") as f:
+        f.write(b"this is not a nifti file")
+    shutil.copy(cases[1][0][0], folder / "c.nii.gz")
+    from segmentation3d_tpu.core.seg_infer import segmentation
+    out = str(tmp_path / "out")
+    results = segmentation(str(folder), save_dir, out, seg_name="seg.nii.gz",
+                           batch_size=1)
+    assert sorted(r[0] for r in results) == ["a", "c"]
+    assert sorted(os.listdir(out)) == ["a", "c"]
+
+
+def test_all_cases_failing_raises(trained_model, tmp_path):
+    root, cases, save_dir, _ = trained_model
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    with open(folder / "bad.nii.gz", "wb") as f:
+        f.write(b"junk")
+    from segmentation3d_tpu.core.seg_infer import segmentation
+    with pytest.raises(Exception):
+        segmentation(str(folder), save_dir, str(tmp_path / "out"),
+                     seg_name="seg.nii.gz", batch_size=1)
+
+
+def test_prefetcher_surfaces_dataset_errors():
+    """A dataset whose batch() raises must surface the error in the train
+    loop instead of hanging the queue forever."""
+    from segmentation3d_tpu.core.seg_train import _BatchPrefetcher
+    from segmentation3d_tpu.parallel import make_mesh
+
+    class _BadDataset:
+        def batch(self, idxs):
+            raise OSError("unreadable case file")
+
+    pf = _BatchPrefetcher(_BadDataset(), iter(range(100)), 2, make_mesh(1))
+    with pytest.raises(RuntimeError, match="batch assembly failed"):
+        next(pf)

@@ -60,6 +60,55 @@ def test_multimodality_inference_via_txt(mm_model, tmp_path):
     assert d >= 0.85, f"4-mod Dice {d:.3f}"
 
 
+def test_modalities_register_in_world_space(mm_model, tmp_path):
+    """A modality whose native frame is shifted in world space must land
+    registered on modality 0's iso grid (not be silently treated as if the
+    grids coincided): channels of a world-shifted copy differ from the
+    unshifted array, and shifting BACK by sampling reproduces alignment."""
+    import jax.numpy as jnp
+    from segmentation3d_tpu.core.seg_infer import (
+        load_seg_model, segmentation_one_case, SlidingWindowInferer)
+    from segmentation3d_tpu.io import Volume, read_image, write_image
+    from segmentation3d_tpu.ops.geometry import Frame
+
+    root, cases, save_dir = mm_model
+    model = load_seg_model(save_dir)
+
+    # modality 0 + three copies; copy #1 shifted 5 mm along z in world space
+    v0 = read_image(cases[0][0][0])
+    paths = [str(tmp_path / f"m{i}.nii.gz") for i in range(4)]
+    write_image(v0, paths[0])
+    shifted = Frame(origin=np.asarray(v0.frame.origin) + [0, 0, 5.0],
+                    spacing=v0.frame.spacing, direction=v0.frame.direction)
+    write_image(Volume(v0.data, shifted), paths[1])
+    write_image(v0, paths[2])
+    write_image(v0, paths[3])
+
+    captured = {}
+    inferer = SlidingWindowInferer(model.net, (32, 32, 32), 2, batch_size=1)
+    orig_call = SlidingWindowInferer.__call__
+
+    def spy(self, variables, vol, **kw):
+        captured["vol"] = np.asarray(vol)
+        return orig_call(self, variables, vol, **kw)
+
+    SlidingWindowInferer.__call__ = spy
+    try:
+        segmentation_one_case(model, paths, inferer, shape_bucket=32)
+    finally:
+        SlidingWindowInferer.__call__ = orig_call
+
+    vol = captured["vol"]
+    # identical-frame copies == channel 0 exactly; the 5 mm-shifted one must
+    # differ (its content slides 5 voxels at 1 mm spacing)
+    np.testing.assert_array_equal(vol[..., 2], vol[..., 0])
+    assert not np.allclose(vol[..., 1], vol[..., 0]), (
+        "world-shifted modality was resampled onto its own grid — "
+        "misregistration silently discarded")
+    # interior agreement after shifting back by 5 voxels proves registration
+    np.testing.assert_allclose(vol[5:-6, ..., 1], vol[:-11, ..., 0], atol=2e-2)
+
+
 def test_modality_count_mismatch_raises(mm_model, tmp_path):
     root, cases, save_dir = mm_model
     from segmentation3d_tpu.core.seg_infer import segmentation

@@ -89,3 +89,56 @@ def test_fused_forward_matches_net():
     # argmax agreement (what inference actually uses)
     agree = np.mean(np.argmax(np.asarray(out), -1) == np.argmax(np.asarray(ref), -1))
     assert agree > 0.99
+
+
+@pytest.mark.parametrize("ht", [8, 16])
+def test_parity_h_tiled(ht):
+    """Explicit y-tiling (slab-plane mode) matches the untiled kernel/XLA,
+    including when H is not a multiple of the tile."""
+    _check_ht(1, 4, 32, 16, 16, 16, ht)
+    _check_ht(1, 4, 24, 16, 16, 16, ht)  # H=24: ht=16 -> padded tile
+
+
+def _check_ht(B, D, H, W, cin, cout, ht):
+    x = jnp.asarray(rng.normal(size=(B, D, H, W, cin)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+    ref = pc.thin_conv3d_reference(x, w, b, "relu")
+    out = pc.thin_conv3d(x, w, b, act="relu", out_dtype=jnp.float32,
+                         interpret=True, ht=ht)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref),
+        atol=0.05 * float(jnp.max(jnp.abs(ref))), rtol=0.05)
+
+
+def test_pick_ht_budget():
+    """Auto tile height: big slab planes split, small planes stay whole."""
+    assert pc._pick_ht(96, 96, 16, 16) == 96
+    ht = pc._pick_ht(512, 512, 16, 16)
+    assert ht < 512 and ht >= 8 and (ht & (ht - 1)) == 0
+    # working set must fit the budget
+    assert (6 * 512 * 16 + 2 * 512 * 16) * 2 * (ht + 2) <= 10_000_000
+
+
+@pytest.mark.parametrize("acts", [("relu", "relu"), ("prelu", "prelu")])
+def test_fused_residual_block(acts):
+    """residual= fuses act2(x + act(conv(x)+b)) into one kernel pass."""
+    act, res = acts
+    cin = cout = 16
+    x = jnp.asarray(rng.normal(size=(1, 6, 8, 16, cin)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+    ref = pc.thin_conv3d_reference(x, w, b, act, alpha=0.1,
+                                   residual=res, res_alpha=0.3)
+    out = pc.thin_conv3d(x, w, b, act=act, alpha=0.1, out_dtype=jnp.float32,
+                         interpret=True, residual=res, res_alpha=0.3)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref),
+        atol=0.05 * float(jnp.max(jnp.abs(ref))), rtol=0.05)
+
+
+def test_fused_residual_requires_matching_channels():
+    x = jnp.zeros((1, 4, 8, 16, 8), jnp.float32)
+    w = jnp.zeros((3, 3, 3, 8, 16), jnp.float32)
+    with pytest.raises(ValueError, match="cin == cout"):
+        pc.thin_conv3d(x, w, residual="relu", interpret=True)

@@ -89,9 +89,62 @@ def test_import_rejects_wrong_count_and_shape():
     state, _ = model_io.flatten_variables(variables)
     items = list(state.items())
     with pytest.raises(ValueError, match="structural mismatch"):
-        import_torch_state_dict(dict(items[:-1]), net, x_shape)
+        # drop a param entry (the last entries are BN counters, which the
+        # importer legitimately ignores — drop the first, a conv weight)
+        import_torch_state_dict(dict(items[1:]), net, x_shape)
     bad = dict(items)
     k0 = items[0][0]
     bad[k0] = np.zeros((1, 2, 3), np.float32)
     with pytest.raises(ValueError, match="shape mismatch"):
         import_torch_state_dict(bad, net, x_shape)
+
+
+def test_reverse_interop_strict_torch_load(tmp_path):
+    """OUR checkpoint restores into a torch V-Net with
+    ``load_state_dict(strict=True)`` — values are real torch tensors, BN
+    ``num_batches_tracked`` counters are present, layouts convert — and the
+    torch forward matches the flax forward (ours -> reference direction of
+    SURVEY.md C13; see NamedTorchVNet for the naming caveat)."""
+    from torch_vnet_ref import NamedTorchVNet
+    from segmentation3d_tpu.utils.normalizer import FixedNormalizer
+
+    net = SegmentationNet(in_channels=1, out_channels=2, base_channels=4)
+    x0 = jnp.zeros((1, 16, 16, 16, 1))
+    variables = net.init(jax.random.PRNGKey(3), x0, train=False)
+    # randomize BN running stats so the BN restore is actually exercised
+    rng = np.random.default_rng(0)
+    variables = jax.device_get(variables)
+    def _randomize(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name == "mean":
+            return rng.uniform(-0.5, 0.5, np.shape(leaf)).astype(np.float32)
+        if name == "var":
+            return rng.uniform(0.5, 2.0, np.shape(leaf)).astype(np.float32)
+        return leaf
+    variables["batch_stats"] = jax.tree_util.tree_map_with_path(
+        _randomize, variables["batch_stats"])
+
+    model_io.save_checkpoint(
+        str(tmp_path), 0, 0, variables, net_name="vnet", max_stride=16,
+        in_channels=1, out_channels=2, spacing=[1.0, 1.0, 1.0],
+        interpolation="LINEAR",
+        crop_normalizers=[FixedNormalizer(mean=0.0, stddev=1.0)])
+
+    payload = torch.load(str(tmp_path / "checkpoints" / "chk_0" / "params.pth"),
+                         map_location="cpu", weights_only=False)
+    sd = payload["state_dict"]
+    assert all(isinstance(v, torch.Tensor) for v in sd.values()), (
+        "state_dict values must be torch tensors for reference-side restore")
+    assert any(k.endswith("num_batches_tracked") for k in sd)
+
+    tnet = NamedTorchVNet(1, 2, base=4).eval()
+    tnet.load_state_dict(sd, strict=True)  # raises on ANY name/shape mismatch
+
+    x = rng.normal(size=(1, 1, 16, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tnet(torch.from_numpy(x)).numpy()  # [B,C,D,H,W]
+    j_out = np.asarray(net.apply(
+        jax.tree_util.tree_map(jnp.asarray, variables),
+        jnp.transpose(jnp.asarray(x), (0, 2, 3, 4, 1)), train=False))
+    np.testing.assert_allclose(np.transpose(j_out, (0, 4, 1, 2, 3)), t_out,
+                               atol=1e-5)
