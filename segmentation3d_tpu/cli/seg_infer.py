@@ -46,6 +46,11 @@ def main(argv=None):
     parser.add_argument("--num_devices", type=int, default=1,
                         help=">1 or -1 (all): shard each volume's patch "
                              "batches over a TPU mesh")
+    parser.add_argument("--spatial_shard", action="store_true",
+                        help="with SLAB + --num_devices>1: z-shard each "
+                             "volume over the mesh (halo exchange) instead "
+                             "of replicating it — for volumes too large for "
+                             "one chip")
     parser.add_argument("--fine_model", default=None,
                         help="enable coarse-to-fine: -m is the coarse model, "
                              "this is the fine model directory")
@@ -79,7 +84,7 @@ def main(argv=None):
         partition_stride=args.partition_stride, batch_size=args.batch_size,
         blend=args.blend, post_processing=post,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-        num_devices=args.num_devices,
+        num_devices=args.num_devices, spatial_shard=args.spatial_shard,
     )
 
 

@@ -247,7 +247,7 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
                  partition_type=DISABLE, partition_size=None, partition_stride=None,
                  batch_size=8, blend="gaussian", post_processing=None,
                  dtype=jnp.float32, fused=None, shape_bucket=64,
-                 num_devices=1):
+                 num_devices=1, spatial_shard=False):
     """Segment all cases found at ``input_path`` — the reference's public
     entry (``core/seg_infer.py:segmentation`` ≈L270-340).
 
@@ -258,6 +258,9 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     (default: on for bfloat16 on TPU).
     ``num_devices``: >1 or -1 (= all) splits each volume's patch batches
     over a ``data`` mesh (one psum of the blend accumulators per volume).
+    ``spatial_shard``: with SLAB partitioning and a multi-device mesh,
+    z-shard each VOLUME over the chips instead (halo exchange; no chip
+    holds the full volume) — the >512^3 single-volume mode.
     """
     del gpu_id
     model = load_seg_model(model_dir, dtype=dtype)
@@ -342,10 +345,22 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
 
         key = (patch, stride)
         if key not in inferers:
-            inferers[key] = SlidingWindowInferer(
-                model.net, patch, model.out_channels,
-                batch_size=batch_size, blend=blend if stride != patch else "constant",
-                apply_fn=apply_fn, mesh=mesh)
+            if spatial_shard:
+                if mesh is None:
+                    raise ValueError("spatial_shard requires num_devices > 1")
+                if partition_type != SLAB:
+                    raise ValueError("spatial_shard works with SLAB partitioning")
+                from segmentation3d_tpu.core.spatial_shard import SpatialShardedInferer
+                inferers[key] = SpatialShardedInferer(
+                    model.net, slab_z=patch[0], num_classes=model.out_channels,
+                    mesh=mesh, stride_z=stride[0], blend=blend,
+                    apply_fn=apply_fn)
+            else:
+                inferers[key] = SlidingWindowInferer(
+                    model.net, patch, model.out_channels,
+                    batch_size=batch_size,
+                    blend=blend if stride != patch else "constant",
+                    apply_fn=apply_fn, mesh=mesh)
         inferer = inferers[key]
 
         try:

@@ -148,9 +148,16 @@ class SpatialShardedInferer:
             out_specs=(P("data"), P("data")), check_vma=False,
         )(variables, vol, zstarts, zmask)
 
-    def __call__(self, variables, vol, return_prob=False):
+    def __call__(self, variables, vol, stride_zyx=None, return_prob=False):
         """vol: [D,H,W,C] (or [D,H,W]). D is padded to a multiple of the mesh
-        size. Returns mask [D,H,W] uint8 (+ prob [D,H,W,NC] if requested)."""
+        size. Returns mask [D,H,W] uint8 (+ prob [D,H,W,NC] if requested).
+
+        ``stride_zyx``: optional (sz, -, -) — only the z stride is honored
+        (slab patches span full XY); keeps the call signature interchangeable
+        with :class:`~segmentation3d_tpu.core.infer_engine.SlidingWindowInferer`.
+        """
+        if stride_zyx is not None:
+            self.sz = int(np.asarray(stride_zyx).reshape(-1)[0])
         if vol.ndim == 3:
             vol = vol[..., None]
         D = vol.shape[0]

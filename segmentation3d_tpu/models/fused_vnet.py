@@ -1,11 +1,21 @@
-"""Fused inference forward for V-Net: BN folding + Pallas thin-channel convs.
+"""Fused inference forward for V-Net: BN folding + lane-packed thin convs.
 
 At inference BatchNorm is a per-channel affine, so it folds into the
 preceding conv's weights/bias (``ops.pallas_conv.fold_bn``); the activation
-then fuses into the conv epilogue. Stride-1 3x3x3 convs with few output
-channels route through the lane-packed Pallas kernel
-(:func:`segmentation3d_tpu.ops.pallas_conv.thin_conv3d`); everything else
-(stride-2 down/up convs, wide convs, 1x1 projection) stays on XLA convs.
+then fuses into the conv epilogue.
+
+Thin-channel stages (XLA pads Cout to the 128-lane MXU width: measured
+0.5-10 TF/s on V-Net's high-res stages) route through the channel-packed
+XLA conv (:func:`segmentation3d_tpu.ops.packed_conv.packed_conv3d`) by
+default, and the stride-2 up convs through the pixel-shuffle GEMM
+(:func:`segmentation3d_tpu.ops.packed_conv.deconv2x`) — measured per-conv
+on TPU v5e (64x512^2 slab planes, bf16): stem 29.1 -> 12.4 ms, res16
+41.7 -> 24.9, head 73.9 -> 36.7, res32@256^2 11.1 -> 7.9. The Pallas
+kernel (:func:`segmentation3d_tpu.ops.pallas_conv.thin_conv3d`) is an
+opt-in alternative backend via ``pallas_sites``/``use_pallas`` (it ties
+packed-XLA at 96^3 batch shapes but is no faster and needs z-chunking on
+big volumes). Everything else (stride-2 down convs, wide convs, 1x1
+projection) stays on direct XLA convs.
 
 ``build_fused_forward(net, variables)`` returns ``apply_fn(variables, x,
 train=False)`` computing the same function as ``net.apply(variables, x,
@@ -19,6 +29,7 @@ import jax.numpy as jnp
 
 from segmentation3d_tpu.models.vnet import SegmentationNet
 from segmentation3d_tpu.ops.pallas_conv import thin_conv3d, fold_bn
+from segmentation3d_tpu.ops.packed_conv import packed_conv3d, deconv2x, pick_p
 
 # route a stride-1 3x3x3 conv through Pallas when Cout is this thin or less
 PALLAS_COUT_MAX = 32
@@ -46,23 +57,23 @@ def _xla_conv(x, w, b, strides=(1, 1, 1), padding="SAME", dtype=jnp.bfloat16):
 
 def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
                         use_pallas: bool | None = None, interpret: bool = False,
-                        pallas_sites: frozenset | None = None):
-    # Per-site in-context measurements on TPU v5e (96^3 b8 full forward,
-    # BN-folded XLA baseline 118.2 ms): pallas@head 107.8 (WIN — the 32->2
-    # output conv is pathological for XLA's lane padding), pallas@stem 120.4
-    # and pallas@res 125.9 (LOSE — entry/exit layout traffic breaks XLA
-    # fusion despite 2-3x isolated kernel wins). Default therefore routes
-    # only the head; pass use_pallas=True for all sites or pallas_sites={...}
-    # for explicit control. Round-2: chain packed layouts to flip res/stem.
+                        pallas_sites: frozenset | None = None,
+                        packed_sites: frozenset | None = None,
+                        use_deconv2x: bool = False):
+    # Default backend for thin 3x3x3 convs is the channel-packed XLA conv
+    # (see module docstring for the round-2 per-conv measurements; it beat
+    # or tied the Pallas kernel at every site and needs no z-chunking).
+    # ``pallas_sites``/``use_pallas`` opt specific sites into the Pallas
+    # kernel instead, for experiments.
     """Build the fused apply function. Captures folded weights as constants
     of the returned closure (re-build after loading new variables)."""
     if pallas_sites is None:
-        if use_pallas is None:
-            pallas_sites = frozenset({"head"})
-        elif use_pallas:
+        if use_pallas:
             pallas_sites = frozenset({"stem", "res", "head"})
         else:
             pallas_sites = frozenset()
+    if packed_sites is None:
+        packed_sites = frozenset({"stem", "res", "head"})  # measured default
     if net.bottleneck:
         raise NotImplementedError("fused forward supports the standard "
                                   "(non-bottleneck) V-Net blocks")
@@ -86,14 +97,14 @@ def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
         cout = w.shape[-1]
         kind = act_kind if act else "none"
         alpha = alpha_of(pp, pname)
-        # No VMEM plane bound anymore: thin_conv3d y-tiles planes that don't
-        # fit (full-XY slab stages included), so routing is purely a
-        # which-is-faster decision per site.
-        routed = site in pallas_sites
-        if (routed and w.shape[:3] == (3, 3, 3) and cout <= PALLAS_COUT_MAX
-                and x.shape[3] >= 8):
+        if (site in pallas_sites and w.shape[:3] == (3, 3, 3)
+                and cout <= PALLAS_COUT_MAX and x.shape[3] >= 8):
             return thin_conv3d(x.astype(dtype), w, b, act=kind, alpha=alpha,
                                out_dtype=dtype, interpret=interpret)
+        if (site in packed_sites and w.shape[:3] == (3, 3, 3)
+                and pick_p(w.shape[3], cout) > 1):
+            out = packed_conv3d(x.astype(dtype), w, b, out_dtype=jnp.float32)
+            return _act(out, kind, alpha).astype(dtype)
         out = _xla_conv(x, w, b)
         return _act(out, kind, alpha).astype(dtype)
 
@@ -101,7 +112,14 @@ def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
         w, b = fold_bn(pp[conv_name]["kernel"], pp[conv_name].get("bias"),
                        pp[bn_name]["scale"], pp[bn_name]["bias"],
                        ss[bn_name]["mean"], ss[bn_name]["var"])
-        if transpose:
+        if transpose and use_deconv2x:
+            # k=2/s=2 deconv == pixel-shuffle GEMM. Isolated it beats the
+            # direct conv_transpose lowering, but IN-NET (all packed sites)
+            # the interleave transpose breaks fusion with the following
+            # concat+res conv: 235 vs 204 ms/slab-fwd measured — so the
+            # default stays on conv_transpose; this is the opt-in variant.
+            out = deconv2x(x.astype(dtype), w, b, out_dtype=jnp.float32)
+        elif transpose:
             out = jax.lax.conv_transpose(
                 x.astype(dtype), w.astype(dtype), (2, 2, 2), "VALID",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),

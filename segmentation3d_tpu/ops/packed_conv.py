@@ -1,0 +1,128 @@
+"""Channel-packed 3x3x3 conv: the lane-packing trick in PURE XLA.
+
+Why: XLA lowers an NDHWC conv to a GEMM with N = Cout padded to the 128-lane
+MXU width, so V-Net's thin stages (Cout ∈ {2,16,32}) run at 0.5-10 TF/s
+(measured, TPU v5e, 64x512^2 slab planes). This module packs ``P``
+consecutive x-positions into the channel dim — a FREE reshape of NDHWC —
+and converts the 3x3x3 conv into an equivalent conv over the packed layout
+with a structured [3, 3, 3, P*Cin, P*Cout] kernel:
+
+    out'[b,z,y,wq, xo*Cout+co] =
+        sum_{dz,dy,dx,ci} w[dz,dy,dx,ci,co] * x[b,.., wq*P+xo+dx-1, ci]
+
+The input voxel (g = xo+dx-1) lives in packed column wq + floor(g/P) at
+packed channel (g mod P)*Cin + ci, so the packed kernel's x-extent stays 3
+and SAME padding reproduces the original boundary semantics. FLOPs grow by
+exactly P, but the GEMM becomes [*, P*Cin*27] @ [., P*Cout >= 128] which the
+MXU runs at 80-160 TF/s — a measured 3-10x net win on the thin stages, with
+none of the Pallas/Mosaic compile fragility and full XLA fusion of the
+bias/activation/residual epilogue. Differentiable (pure XLA), so it also
+serves the training path, unlike the forward-only Pallas kernel.
+
+Pick ``P = 128 // max(Cin, Cout)`` (so both packed channel counts reach >=
+128 without exceeding it on the contraction side).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pick_p(cin: int, cout: int, target: int = 128) -> int:
+    """Largest power-of-2 packing so max(P*cin, P*cout) <= target (>=1)."""
+    p = 1
+    while 2 * p * max(cin, cout) <= target:
+        p *= 2
+    return p
+
+
+def pack_kernel(w, P: int):
+    """[3,3,3,Cin,Cout] -> packed [3,3,3,P*Cin,P*Cout] (see module doc)."""
+    kd, kh, kw, cin, cout = w.shape
+    assert (kd, kh, kw) == (3, 3, 3)
+    wk = jnp.zeros((3, 3, 3, P * cin, P * cout), w.dtype)
+    for xo in range(P):
+        for dx in range(3):
+            g = xo + dx - 1
+            dxq = 1 + (g // P)          # in {0,1,2}: left/center/right column
+            xv = g % P
+            wk = wk.at[:, :, dxq, xv * cin:(xv + 1) * cin,
+                       xo * cout:(xo + 1) * cout].set(w[:, :, dx])
+    return wk
+
+
+@functools.partial(jax.jit, static_argnames=("P", "out_dtype"))
+def packed_conv3d(x, w, b=None, P: int | None = None, out_dtype=jnp.bfloat16):
+    """Stride-1 SAME 3x3x3 conv via x-into-channel packing (pure XLA).
+
+    ``x``: [B,D,H,W,Cin]; ``w``: [3,3,3,Cin,Cout]; ``b``: [Cout] or None.
+    Returns f32 accumulation cast to ``out_dtype``. No activation — XLA
+    fuses whatever elementwise epilogue follows.
+    """
+    B, D, H, W, cin = x.shape
+    cout = w.shape[-1]
+    # compute dtype follows x (f32 in, f32 GEMM) so the conv transpose rule
+    # sees consistent dtypes under jax.grad
+    cdtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+    if P is None:
+        P = pick_p(cin, cout)
+    if P <= 1:
+        out = jax.lax.conv_general_dilated(
+            x.astype(cdtype), w.astype(cdtype), (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32)
+        if b is not None:
+            out = out + b.reshape(1, 1, 1, 1, -1).astype(jnp.float32)
+        return out.astype(out_dtype)
+
+    Wp = -(-W // P) * P
+    xq = x.astype(cdtype)
+    if Wp != W:
+        xq = jnp.pad(xq, ((0, 0),) * 3 + ((0, Wp - W), (0, 0)))
+    xp = xq.reshape(B, D, H, Wp // P, P * cin)          # free reshape
+
+    wk = pack_kernel(w.astype(cdtype), P)
+    out = jax.lax.conv_general_dilated(
+        xp, wk, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32)             # [B,D,H,Wp/P,P*cout]
+    if b is not None:
+        bp = jnp.tile(b.astype(jnp.float32), (P,))
+        out = out + bp.reshape(1, 1, 1, 1, -1)
+    out = out.reshape(B, D, H, Wp, cout)
+    if Wp != W:
+        out = out[:, :, :, :W]
+    return out.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def deconv2x(x, w, b=None, out_dtype=jnp.bfloat16):
+    """ConvTranspose3d(kernel=2, stride=2, VALID) as GEMM + pixel shuffle.
+
+    With kernel extent == stride there is no tap overlap: every output voxel
+    is ONE linear map of one input voxel, so the whole deconv is
+    ``[B*D*H*W, Cin] @ [Cin, 8*Cout]`` — full 128-lane MXU utilization even
+    for thin Cout (the direct lowering pads Cout to 128: measured 0.5-5 TF/s
+    on V-Net's up convs) — followed by a depth-to-space interleave.
+
+    Matches ``jax.lax.conv_transpose(x, w, (2,2,2), "VALID",
+    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))`` with ``w``
+    [2,2,2,Cin,Cout] (parity-tested).
+    """
+    B, D, H, W, cin = x.shape
+    cout = w.shape[-1]
+    cdtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+    # conv_transpose applies the kernel FLIPPED (tap (0,0,0) lands at output
+    # offset (1,1,1)) — flip so the GEMM matches its semantics exactly
+    wf = w.astype(cdtype)[::-1, ::-1, ::-1]
+    wm = jnp.transpose(wf, (3, 0, 1, 2, 4)).reshape(cin, 8 * cout)
+    y = jnp.dot(x.astype(cdtype).reshape(B * D * H * W, cin), wm,
+                preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + jnp.tile(b.astype(jnp.float32), (8,)).reshape(1, -1)
+    y = y.reshape(B, D, H, W, 2, 2, 2, cout)
+    y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6, 7))
+    return y.reshape(B, 2 * D, 2 * H, 2 * W, cout).astype(out_dtype)

@@ -70,7 +70,7 @@ def _conv_kernel(p0_ref, p1_ref, p2_ref, wc_ref, wl_ref, wr_ref, b_ref,
                  residual="none", res_alpha=0.25):
     """v3 plane kernel — no prebuilt windows.
 
-    p{0,1,2}: z-1/z/z+1 packed plane TILES [1, 1, 8 + Wb + H*Wb + Wb + 8,
+    p{0,1,2}: z-1/z/z+1 packed plane TILES [1, 8 + Wb + H*Wb + Wb + 8,
     L*Cin] (H here = the y-tile height; y-halo = the Wb-row blocks at
     top/bottom; 8 spare rows allow the ±1-row boundary shifts). One big
     within-block GEMM (K = 9*L*Cin) plus 18 tiny masked boundary GEMMs
@@ -82,7 +82,7 @@ def _conv_kernel(p0_ref, p1_ref, p2_ref, wc_ref, wl_ref, wr_ref, b_ref,
     base = 8 + Wb  # first data row (y=0)
 
     # center taps: tap dy reads y_in = y_out + dy - 1 -> start base+(dy-1)*Wb
-    center = [planes[t // 3][0, 0, base + ((t % 3) - 1) * Wb:
+    center = [planes[t // 3][0, base + ((t % 3) - 1) * Wb:
                              base + ((t % 3) - 1) * Wb + M, :]
               for t in range(9)]
     a = jnp.concatenate(center, axis=-1)               # [M, 9*L*Cin]
@@ -97,10 +97,10 @@ def _conv_kernel(p0_ref, p1_ref, p2_ref, wc_ref, wl_ref, wr_ref, b_ref,
     # left neighbor block's LAST voxel lives one row up (same y); right
     # neighbor's FIRST voxel one row down — masked at block edges. Two
     # K=9*Cin GEMMs beat 18 tiny dots (measured 7.6 vs 11.0 ms at 96^3/32ch).
-    lparts = [planes[t // 3][0, 0, base + ((t % 3) - 1) * Wb - 1:
+    lparts = [planes[t // 3][0, base + ((t % 3) - 1) * Wb - 1:
                              base + ((t % 3) - 1) * Wb - 1 + M, (L - 1) * cin:]
               for t in range(9)]
-    rparts = [planes[t // 3][0, 0, base + ((t % 3) - 1) * Wb + 1:
+    rparts = [planes[t // 3][0, base + ((t % 3) - 1) * Wb + 1:
                              base + ((t % 3) - 1) * Wb + 1 + M, :cin]
               for t in range(9)]
     lacc = jnp.dot(jnp.concatenate(lparts, axis=-1), wl_ref[:],
@@ -117,13 +117,19 @@ def _conv_kernel(p0_ref, p1_ref, p2_ref, wc_ref, wl_ref, wr_ref, b_ref,
         # fused residual block tail (out = act2(x + convbnact(x))): the
         # identity IS the center z-plane's data rows — zero extra traffic.
         # Valid only when cin == cout (checked by the caller).
-        ident = p1_ref[0, 0, base:base + M, :].astype(jnp.float32)
+        ident = p1_ref[0, base:base + M, :].astype(jnp.float32)
         acc = acc + ident
         if residual == "relu":
             acc = jnp.maximum(acc, 0.0)
         elif residual == "prelu":
             acc = jnp.where(acc >= 0, acc, res_alpha * acc)
     out_ref[0] = acc.astype(out_ref.dtype)
+
+
+# the axon remote-compile path rejects programs whose pallas operand exceeds
+# ~512 MB (empirical: 449 MB compiles, 592 MB returns HTTP 500); stay under
+# it with headroom. Module-level so tests can shrink it to force chunking.
+_REMOTE_OPERAND_BYTE_CAP = 420_000_000
 
 
 def _pick_ht(H, Wp, cin_p, cout_p, budget=10_000_000):
@@ -181,6 +187,23 @@ def thin_conv3d(x, w, b=None, act: str = "none", alpha: float = 0.25,
     Ht = int(ht) if ht else _pick_ht(H, Wp, cin_p, cout_p)
     nH = -(-H // Ht)
     Hp = nH * Ht
+
+    # the axon remote-compile path rejects programs whose pallas operand
+    # exceeds ~512 MB (empirical: 449 MB compiles, 592 MB returns HTTP 500)
+    # — split the volume into overlapping z-chunks and run the same kernel
+    # per chunk (SAME conv: out[z0:z1] needs input planes [z0-1, z1])
+    tile_rows_est = 16 + (Ht + 2) * Wb
+    est_bytes = B * (D + 2) * nH * tile_rows_est * lanes * 2
+    if est_bytes > _REMOTE_OPERAND_BYTE_CAP and D > 8:
+        mid = D // 2
+        parts = []
+        for z0, z1 in ((0, mid), (mid, D)):
+            zs, ze = max(0, z0 - 1), min(D, z1 + 1)
+            sub = thin_conv3d(x[:, zs:ze], w, b, act=act, alpha=alpha,
+                              out_dtype=out_dtype, L=L, interpret=interpret,
+                              ht=ht, residual=residual, res_alpha=res_alpha)
+            parts.append(sub[:, z0 - zs: z0 - zs + (z1 - z0)])
+        return jnp.concatenate(parts, axis=1)
     xq = x.astype(jnp.bfloat16)
     if cin_p != cin:
         xq = jnp.pad(xq, ((0, 0),) * 4 + ((0, cin_p - cin),))
@@ -195,14 +218,18 @@ def thin_conv3d(x, w, b=None, act: str = "none", alpha: float = 0.25,
     xp = jnp.pad(xp, ((0, 0), (1, 1), (8 + Wb, Wb + 8), (0, 0)))
     tile_rows = 16 + (Ht + 2) * Wb
     if nH == 1:
-        xp = xp.reshape(B * (D + 2), 1, tile_rows, lanes)
+        xp = xp.reshape(B * (D + 2), tile_rows, lanes)
     else:
         # overlapping y-tiles: tile i = padded rows [i*Ht*Wb, i*Ht*Wb +
         # tile_rows) — each carries its y-halo row-blocks + spare rows.
-        # One gather-style copy (~(Ht+2)/Ht duplication) buys VMEM fit.
-        xp = jnp.stack([xp[:, :, i * Ht * Wb: i * Ht * Wb + tile_rows, :]
-                        for i in range(nH)], axis=2)
-        xp = xp.reshape(B * (D + 2), nH, tile_rows, lanes)
+        # One row-gather (~(Ht+2)/Ht duplication) buys VMEM fit; a take is
+        # used instead of stacking nH overlapping slices, which blows up the
+        # XLA:TPU compile at nH >= 16. Tiles fold into the LEADING dim so
+        # blocks stay 3-D (Mosaic emits ~6x slower code for 4-D blocks).
+        rows_idx = (np.arange(nH)[:, None] * (Ht * Wb)
+                    + np.arange(tile_rows)[None, :]).reshape(-1)
+        xp = jnp.take(xp, jnp.asarray(rows_idx), axis=2)
+        xp = xp.reshape(B * (D + 2) * nH, tile_rows, lanes)
 
     wq = jnp.pad(w, ((0, 0),) * 3 + ((0, cin_p - cin), (0, cout_p - cout)))
     wc, wl, wr = (m.astype(jnp.bfloat16) for m in pack_weights(wq, L))
@@ -219,9 +246,9 @@ def thin_conv3d(x, w, b=None, act: str = "none", alpha: float = 0.25,
     # overlapping block indexing, and it double-buffers the plane fetches.
     def plane_spec(k):
         return pl.BlockSpec(
-            (1, 1, tile_rows, lanes),
-            lambda t: ((t // nH) // D * (D + 2) + (t // nH) % D + k,
-                       t % nH, 0, 0),
+            (1, tile_rows, lanes),
+            lambda t: (((t // nH) // D * (D + 2) + (t // nH) % D + k) * nH
+                       + t % nH, 0, 0),
             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(

@@ -102,3 +102,15 @@ def test_write_read_roundtrip_int_exact(tmp_path):
     write_dicom_series(str(tmp_path / "s2"), data, Frame.identity())
     back, _ = read_dicom_series(str(tmp_path / "s2"))
     np.testing.assert_array_equal(back.astype(np.int32), data)
+
+
+def test_dicom_helper_facade(tmp_path):
+    """Reference-named utils.dicom_helper round-trips a Volume."""
+    from segmentation3d_tpu.utils import dicom_helper
+    from segmentation3d_tpu.io import Volume
+    from segmentation3d_tpu.ops.geometry import Frame
+    data = (np.arange(4 * 6 * 8).reshape(4, 6, 8) % 100).astype(np.int16)
+    dicom_helper.write_dicom_series(Volume(data, Frame.identity()),
+                                    str(tmp_path / "s3"))
+    back = dicom_helper.read_dicom_series(str(tmp_path / "s3"))
+    np.testing.assert_array_equal(back.data.astype(np.int16), data)

@@ -142,3 +142,19 @@ def test_fused_residual_requires_matching_channels():
     w = jnp.zeros((3, 3, 3, 8, 16), jnp.float32)
     with pytest.raises(ValueError, match="cin == cout"):
         pc.thin_conv3d(x, w, residual="relu", interpret=True)
+
+
+def test_parity_zchunked_path(monkeypatch):
+    """Volumes whose tiled operand would exceed the remote-compile size cap
+    split into overlapping z-chunks; result identical to the direct path."""
+    import segmentation3d_tpu.ops.pallas_conv as mod
+    monkeypatch.setattr(mod, "_REMOTE_OPERAND_BYTE_CAP", 100_000)
+    x = jnp.asarray(rng.normal(size=(1, 12, 16, 16, 16)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 16, 16)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    ref = pc.thin_conv3d_reference(x, w, b, "relu", residual="relu")
+    out = pc.thin_conv3d(x, w, b, act="relu", residual="relu",
+                         out_dtype=jnp.float32, interpret=True, ht=8)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref),
+        atol=0.05 * float(jnp.max(jnp.abs(ref))), rtol=0.05)

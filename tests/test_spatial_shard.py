@@ -98,3 +98,48 @@ def test_spatial_shard_real_vnet():
     _, p1 = ref(variables, vol, return_prob=True)
     _, p8 = shd(variables, vol, return_prob=True)
     np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), atol=2e-5)
+
+
+def test_spatial_shard_via_segmentation(tmp_path):
+    """The public segmentation() path with spatial_shard=True produces the
+    same mask as the replicated SLAB path (8-device CPU mesh)."""
+    from segmentation3d_tpu.core.seg_infer import segmentation
+    from segmentation3d_tpu.io import Volume, read_image, write_image
+    from segmentation3d_tpu.models.vnet import SegmentationNet
+    from segmentation3d_tpu.ops.geometry import Frame
+    from segmentation3d_tpu.utils import model_io
+    from segmentation3d_tpu.utils.normalizer import FixedNormalizer
+
+    net = SegmentationNet(in_channels=1, out_channels=2, base_channels=2)
+    variables = jax.device_get(net.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 1)), train=False))
+    model_dir = str(tmp_path / "model")
+    model_io.save_checkpoint(
+        model_dir, 0, 0, variables, net_name="vnet", max_stride=16,
+        in_channels=1, out_channels=2, spacing=[1.0, 1.0, 1.0],
+        interpolation="LINEAR",
+        crop_normalizers=[FixedNormalizer(mean=0.0, stddev=1.0)],
+        extra={"net_kwargs": {"base_channels": 2}})
+
+    rng = np.random.default_rng(11)
+    img = rng.normal(0.0, 1.0, (48, 32, 32)).astype(np.float32)
+    src = str(tmp_path / "case.nii.gz")
+    write_image(Volume(img, Frame.identity()), src)
+
+    kw = dict(seg_name="seg.nii.gz", partition_type="SLAB",
+              partition_size=[16, 16, 16], partition_stride=[8, 8, 8],
+              blend="constant", shape_bucket=16)
+    segmentation(src, model_dir, str(tmp_path / "o1"), **kw)
+    segmentation(src, model_dir, str(tmp_path / "o2"),
+                 num_devices=8, spatial_shard=True, **kw)
+    m1 = read_image(str(tmp_path / "o1" / "case" / "seg.nii.gz")).data
+    m2 = read_image(str(tmp_path / "o2" / "case" / "seg.nii.gz")).data
+    assert (m1 == m2).mean() > 0.999
+
+    # guard rails: spatial_shard needs a real mesh and SLAB partitioning
+    with pytest.raises(ValueError, match="num_devices"):
+        segmentation(src, model_dir, str(tmp_path / "o3"),
+                     spatial_shard=True, **kw)
+    with pytest.raises(ValueError, match="SLAB"):
+        segmentation(src, model_dir, str(tmp_path / "o4"), seg_name="s.nii.gz",
+                     num_devices=8, spatial_shard=True, shape_bucket=16)
