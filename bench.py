@@ -63,7 +63,8 @@ def main():
     apply_fn = None
     if args.fused == "1":
         from segmentation3d_tpu.models.fused_vnet import build_fused_forward
-        apply_fn = build_fused_forward(net, variables, dtype=dtype)
+        apply_fn = build_fused_forward(net, variables, dtype=dtype,
+                                       wide_xy=bool(args.slab))
 
     rng = np.random.default_rng(0)
     size = args.size

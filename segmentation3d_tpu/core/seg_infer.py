@@ -169,6 +169,39 @@ class _ReadAhead:
         return item
 
 
+class _WriteBehind:
+    """Background-thread mask writer: gzip-compress + write of case N
+    overlaps device compute of case N+1 (the mirror of :class:`_ReadAhead`;
+    on this 1-core host a 512^3 mask gzip-write costs ~1 s of the per-case
+    budget otherwise)."""
+
+    def __init__(self, depth=2):
+        self.q = _queue.Queue(maxsize=max(1, depth))
+        self.failures = []
+        self._t = _threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self):
+        while True:
+            item = self.q.get()
+            if item is None:
+                return
+            case_name, jobs = item
+            try:
+                for vol, path in jobs:
+                    write_image(vol, path)
+            except Exception as e:  # noqa: BLE001 — collected, surfaced at end
+                self.failures.append((case_name, e))
+
+    def submit(self, case_name, jobs):
+        self.q.put((case_name, jobs))
+
+    def close(self):
+        self.q.put(None)
+        self._t.join()
+        return self.failures
+
+
 def segmentation_one_case(model: SegModel, image_paths, inferer: SlidingWindowInferer,
                           stride_zyx=None, save_prob=False, post_processing=None,
                           fill_value: float = 0.0, shape_bucket: int = 64,
@@ -277,7 +310,8 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     if fused:
         try:
             from segmentation3d_tpu.models.fused_vnet import build_fused_forward
-            apply_fn = build_fused_forward(model.net, model.variables, dtype=dtype)
+            apply_fn = build_fused_forward(model.net, model.variables, dtype=dtype,
+                                           wide_xy=(partition_type == SLAB))
         except (NotImplementedError, KeyError):
             apply_fn = None
     cases = find_cases(input_path)
@@ -289,6 +323,7 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     inferers = {}
     results = []
     failures = []
+    writer = _WriteBehind()
     for image_paths, vols, read_err in _ReadAhead(cases):
         case_name = os.path.basename(image_paths[0])
         for suf in IMAGE_EXTS:
@@ -370,19 +405,24 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
                 shape_bucket=shape_bucket, vols=vols)
 
             case_dir = os.path.join(output_dir, case_name)
-            write_image(mask_vol, os.path.join(case_dir, seg_name))
+            jobs = [(mask_vol, os.path.join(case_dir, seg_name))]
             if save_image:
-                write_image(native, os.path.join(case_dir, "org.mha"))
+                jobs.append((native, os.path.join(case_dir, "org.mha")))
             if prob_out:
-                for c, p in prob_out:
-                    write_image(Volume(p, native.frame),
-                                os.path.join(case_dir, f"prob_{c}.mha"))
+                jobs.extend((Volume(p, native.frame),
+                             os.path.join(case_dir, f"prob_{c}.mha"))
+                            for c, p in prob_out)
+            writer.submit(case_name, jobs)
         except Exception as e:
             print(f"ERROR: segmentation of {case_name} failed: {e}")
             failures.append((case_name, e))
             continue
         print(f"segmentation of {case_name}: {secs:.2f} s")
         results.append((case_name, secs))
+    for case_name, e in writer.close():
+        print(f"ERROR: writing results of {case_name} failed: {e}")
+        failures.append((case_name, e))
+        results = [r for r in results if r[0] != case_name]
     if failures and not results:
         raise failures[0][1]  # everything failed: not a per-case hiccup
     return results

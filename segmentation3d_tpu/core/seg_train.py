@@ -176,6 +176,7 @@ def train(config_file: str):
         out_channels=int(cfg.dataset.num_classes),
         dtype=dtype,
         remat=bool(cfg.get("tpu", {}).get("remat", True)),
+        conv_backend=str(cfg.get("tpu", {}).get("conv_backend", "direct")),
         **net_kwargs,
     )
 

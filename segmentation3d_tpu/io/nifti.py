@@ -11,6 +11,7 @@ NIfTI affines are RAS; ITK frames are LPS — we convert with the standard
 from __future__ import annotations
 
 import gzip
+import os
 import struct
 
 import numpy as np
@@ -28,8 +29,16 @@ _DTYPES = {
 _CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
 
 
+# gzip.open's default compresslevel is 9 — on this 1-core host that costs
+# seconds per written volume for <1% size over level 1 on segmentation
+# masks (long runs of equal labels). SEG3D_GZIP_LEVEL overrides.
+_GZIP_LEVEL = int(os.environ.get("SEG3D_GZIP_LEVEL", "1"))
+
+
 def _open(path, mode="rb"):
     if str(path).endswith(".gz"):
+        if "w" in mode:
+            return gzip.open(path, mode, compresslevel=_GZIP_LEVEL)
         return gzip.open(path, mode)
     return open(path, mode)
 

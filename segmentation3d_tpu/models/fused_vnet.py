@@ -5,17 +5,21 @@ preceding conv's weights/bias (``ops.pallas_conv.fold_bn``); the activation
 then fuses into the conv epilogue.
 
 Thin-channel stages (XLA pads Cout to the 128-lane MXU width: measured
-0.5-10 TF/s on V-Net's high-res stages) route through the channel-packed
-XLA conv (:func:`segmentation3d_tpu.ops.packed_conv.packed_conv3d`) by
-default, and the stride-2 up convs through the pixel-shuffle GEMM
-(:func:`segmentation3d_tpu.ops.packed_conv.deconv2x`) — measured per-conv
-on TPU v5e (64x512^2 slab planes, bf16): stem 29.1 -> 12.4 ms, res16
-41.7 -> 24.9, head 73.9 -> 36.7, res32@256^2 11.1 -> 7.9. The Pallas
-kernel (:func:`segmentation3d_tpu.ops.pallas_conv.thin_conv3d`) is an
-opt-in alternative backend via ``pallas_sites``/``use_pallas`` (it ties
-packed-XLA at 96^3 batch shapes but is no faster and needs z-chunking on
-big volumes). Everything else (stride-2 down convs, wide convs, 1x1
-projection) stays on direct XLA convs.
+0.4-12 TF/s useful on V-Net's high-res stages) route through the
+window-GEMM conv (:func:`segmentation3d_tpu.ops.packed_conv.window_conv3d`)
+by default — measured per-conv on TPU v5e (64x512^2 slab planes, bf16,
+``benchmarks/bench_convs.py``): stem 40.4 (direct) / 12.5 (packed) /
+7.8 ms (window); up32res 81 / 45 / 33; head 104 / 39 / 20; full slab
+forward 209 -> 193 ms packed -> window. The channel-packed conv
+(:func:`~segmentation3d_tpu.ops.packed_conv.packed_conv3d`) is the
+fallback, the Pallas kernel
+(:func:`segmentation3d_tpu.ops.pallas_conv.thin_conv3d`) and the
+pixel-shuffle deconv (:func:`~segmentation3d_tpu.ops.packed_conv.deconv2x`)
+are opt-in (``pallas_sites``/``use_pallas``/``use_deconv2x``): both win
+isolated at some sites but lose in-net — the Pallas head OOMs the 512^3
+slab program at compile, deconv2x breaks fusion with the following
+concat+res conv (235 vs 204 ms/slab measured). Everything else (stride-2
+down convs, wide convs, 1x1 projection) stays on direct XLA convs.
 
 ``build_fused_forward(net, variables)`` returns ``apply_fn(variables, x,
 train=False)`` computing the same function as ``net.apply(variables, x,
@@ -29,7 +33,8 @@ import jax.numpy as jnp
 
 from segmentation3d_tpu.models.vnet import SegmentationNet
 from segmentation3d_tpu.ops.pallas_conv import thin_conv3d, fold_bn
-from segmentation3d_tpu.ops.packed_conv import packed_conv3d, deconv2x, pick_p
+from segmentation3d_tpu.ops.packed_conv import (
+    packed_conv3d, window_conv3d, deconv2x, pick_p, pick_window_p)
 
 # route a stride-1 3x3x3 conv through Pallas when Cout is this thin or less
 PALLAS_COUT_MAX = 32
@@ -59,21 +64,31 @@ def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
                         use_pallas: bool | None = None, interpret: bool = False,
                         pallas_sites: frozenset | None = None,
                         packed_sites: frozenset | None = None,
-                        use_deconv2x: bool = False):
-    # Default backend for thin 3x3x3 convs is the channel-packed XLA conv
-    # (see module docstring for the round-2 per-conv measurements; it beat
-    # or tied the Pallas kernel at every site and needs no z-chunking).
-    # ``pallas_sites``/``use_pallas`` opt specific sites into the Pallas
-    # kernel instead, for experiments.
+                        window_sites: frozenset | None = None,
+                        use_deconv2x: bool = False,
+                        wide_xy: bool = False,
+                        window_couts: tuple | None = None):
+    # Measured routing defaults (benchmarks/bench_convs.py, TPU v5e, bf16,
+    # 64x512^2 slab planes): thin stride-1 3^3 convs -> window-GEMM conv
+    # (stem 12.5->8.8 ms vs packed, res16 25.2->17.2, up32res 45.3->33.0);
+    # the 32->2 head -> Pallas y-tiled kernel on TPU (18.3 ms vs packed
+    # 39.0 / best window 21.9). ``pallas_sites``/``use_pallas`` widen the
+    # Pallas routing for experiments; on non-TPU backends Pallas is skipped
+    # (Mosaic kernels don't lower there) and the head takes the window path.
     """Build the fused apply function. Captures folded weights as constants
     of the returned closure (re-build after loading new variables)."""
+    del wide_xy  # routing no longer shape-dependent (kept for API compat)
     if pallas_sites is None:
-        if use_pallas:
-            pallas_sites = frozenset({"stem", "res", "head"})
-        else:
-            pallas_sites = frozenset()
+        # Pallas stays opt-in: the y-tiled head kernel wins isolated
+        # (18.3 ms vs window 21.9 on the 64x512^2 head) but OOMs the slab
+        # forward at COMPILE time (26.7G of 8-16x tile-padded remat copies
+        # around the kernel's layout boundaries).
+        pallas_sites = frozenset({"stem", "res", "head"}) if use_pallas \
+            else frozenset()
+    if window_sites is None:
+        window_sites = frozenset({"stem", "res", "head"})  # measured default
     if packed_sites is None:
-        packed_sites = frozenset({"stem", "res", "head"})  # measured default
+        packed_sites = frozenset({"stem", "res", "head"})  # window's fallback
     if net.bottleneck:
         raise NotImplementedError("fused forward supports the standard "
                                   "(non-bottleneck) V-Net blocks")
@@ -101,6 +116,11 @@ def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
                 and cout <= PALLAS_COUT_MAX and x.shape[3] >= 8):
             return thin_conv3d(x.astype(dtype), w, b, act=kind, alpha=alpha,
                                out_dtype=dtype, interpret=interpret)
+        if (site in window_sites and w.shape[:3] == (3, 3, 3)
+                and pick_window_p(cout) > 1
+                and (window_couts is None or cout in window_couts)):
+            out = window_conv3d(x.astype(dtype), w, b, out_dtype=jnp.float32)
+            return _act(out, kind, alpha).astype(dtype)
         if (site in packed_sites and w.shape[:3] == (3, 3, 3)
                 and pick_p(w.shape[3], cout) > 1):
             out = packed_conv3d(x.astype(dtype), w, b, out_dtype=jnp.float32)

@@ -30,6 +30,45 @@ import jax.numpy as jnp
 KAIMING = nn.initializers.he_normal()
 
 
+class Conv3d(nn.Module):
+    """3D conv with a selectable lowering backend, param-tree-identical to
+    ``nn.Conv`` (keys ``kernel``/``bias``, DHWIO) so checkpoints are
+    interchangeable regardless of backend.
+
+    Backends (all pure XLA, differentiable — measured on TPU v5e, see
+    ``benchmarks/bench_convs.py``):
+
+    - ``direct``: ``lax.conv_general_dilated`` as-is (XLA pads thin Cout to
+      the 128-lane MXU width: 0.4-12 TF/s useful on V-Net's thin stages);
+    - ``window``: x-window-unfolded GEMM
+      (:func:`segmentation3d_tpu.ops.packed_conv.window_conv3d`) — the
+      measured best for 3x3x3 stride-1 convs with Cout <= 64.
+    """
+    features: int
+    ksize: int = 3
+    dtype: jnp.dtype = jnp.float32
+    backend: str = "direct"
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", KAIMING,
+                            (self.ksize,) * 3 + (cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        if self.backend == "window" and self.ksize == 3:
+            from segmentation3d_tpu.ops.packed_conv import (
+                window_conv3d, pick_window_p)
+            if pick_window_p(self.features) > 1:
+                return window_conv3d(x.astype(self.dtype), kernel, bias,
+                                     out_dtype=self.dtype)
+        import jax
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype), (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return out + bias.astype(out.dtype)
+
+
 def max_stride() -> int:
     """Total down-sampling factor; crop sizes must be divisible by this."""
     return 16
@@ -57,11 +96,12 @@ class ConvBnAct(nn.Module):
     ksize: int = 3
     act: str = "relu"
     dtype: jnp.dtype = jnp.float32
+    backend: str = "direct"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.features, (self.ksize,) * 3, padding="SAME",
-                    kernel_init=KAIMING, dtype=self.dtype, name="conv")(x)
+        x = Conv3d(self.features, self.ksize, self.dtype, self.backend,
+                   name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=jnp.float32, name="bn")(x)
         return ActivationFn(self.act, name="act")(x.astype(self.dtype))
@@ -74,12 +114,15 @@ class BottConvBnAct(nn.Module):
     ratio: int = 4
     act: str = "relu"
     dtype: jnp.dtype = jnp.float32
+    backend: str = "direct"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         mid = max(1, self.features // self.ratio)
-        x = ConvBnAct(mid, 1, self.act, self.dtype, name="reduce")(x, train)
-        x = ConvBnAct(mid, 3, self.act, self.dtype, name="conv")(x, train)
+        x = ConvBnAct(mid, 1, self.act, self.dtype, self.backend,
+                      name="reduce")(x, train)
+        x = ConvBnAct(mid, 3, self.act, self.dtype, self.backend,
+                      name="conv")(x, train)
         x = nn.Conv(self.features, (1, 1, 1), padding="SAME", kernel_init=KAIMING,
                     dtype=self.dtype, name="expand")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -95,6 +138,7 @@ class ResidualBlock(nn.Module):
     act: str = "relu"
     bottleneck: bool = False
     dtype: jnp.dtype = jnp.float32
+    backend: str = "direct"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -102,13 +146,13 @@ class ResidualBlock(nn.Module):
         if self.bottleneck:
             for i in range(self.num_convs):
                 h = BottConvBnAct(self.features, 4, self.act, self.dtype,
-                                  name=f"conv{i}")(h, train)
+                                  self.backend, name=f"conv{i}")(h, train)
                 if i + 1 < self.num_convs:
                     h = ActivationFn(self.act, name=f"act{i}")(h)
         else:
             for i in range(self.num_convs):
                 h = ConvBnAct(self.features, 3, self.act, self.dtype,
-                              name=f"conv{i}")(h, train)
+                              self.backend, name=f"conv{i}")(h, train)
         return ActivationFn(self.act, name="act_out")(x + h)
 
 
@@ -117,10 +161,12 @@ class InputBlock(nn.Module):
     features: int = 16
     act: str = "relu"
     dtype: jnp.dtype = jnp.float32
+    backend: str = "direct"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return ConvBnAct(self.features, 3, self.act, self.dtype, name="conv")(x, train)
+        return ConvBnAct(self.features, 3, self.act, self.dtype, self.backend,
+                         name="conv")(x, train)
 
 
 class DownBlock(nn.Module):
@@ -131,6 +177,7 @@ class DownBlock(nn.Module):
     act: str = "relu"
     bottleneck: bool = False
     dtype: jnp.dtype = jnp.float32
+    backend: str = "direct"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -140,7 +187,8 @@ class DownBlock(nn.Module):
                          dtype=jnp.float32, name="down_bn")(x)
         x = ActivationFn(self.act, name="down_act")(x.astype(self.dtype))
         return ResidualBlock(self.features, self.num_convs, self.act,
-                             self.bottleneck, self.dtype, name="res")(x, train)
+                             self.bottleneck, self.dtype, self.backend,
+                             name="res")(x, train)
 
 
 class UpBlock(nn.Module):
@@ -151,6 +199,7 @@ class UpBlock(nn.Module):
     act: str = "relu"
     bottleneck: bool = False
     dtype: jnp.dtype = jnp.float32
+    backend: str = "direct"
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
@@ -162,7 +211,8 @@ class UpBlock(nn.Module):
         x = ActivationFn(self.act, name="up_act")(x.astype(self.dtype))
         x = jnp.concatenate([x, skip.astype(self.dtype)], axis=-1)
         return ResidualBlock(self.features, self.num_convs, self.act,
-                             self.bottleneck, self.dtype, name="res")(x, train)
+                             self.bottleneck, self.dtype, self.backend,
+                             name="res")(x, train)
 
 
 class OutputBlock(nn.Module):
@@ -171,10 +221,12 @@ class OutputBlock(nn.Module):
     out_channels: int
     act: str = "relu"
     dtype: jnp.dtype = jnp.float32
+    backend: str = "direct"
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_logits: bool = False):
-        x = ConvBnAct(self.out_channels, 3, self.act, self.dtype, name="conv")(x, train)
+        x = ConvBnAct(self.out_channels, 3, self.act, self.dtype, self.backend,
+                      name="conv")(x, train)
         x = nn.Conv(self.out_channels, (1, 1, 1), padding="SAME", kernel_init=KAIMING,
                     dtype=self.dtype, name="proj")(x)
         x = x.astype(jnp.float32)
@@ -197,6 +249,7 @@ class SegmentationNet(nn.Module):
     bottleneck: bool = False
     dtype: jnp.dtype = jnp.float32
     remat: bool = False  # checkpoint down/up blocks (training memory)
+    conv_backend: str = "direct"  # 'window' = unfolded-GEMM thin convs
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_logits: bool = False):
@@ -209,22 +262,24 @@ class SegmentationNet(nn.Module):
         # block internals (the full-res decoder peak) are recomputed
         Down = nn.remat(DownBlock, static_argnums=(2,)) if self.remat else DownBlock
         Up = nn.remat(UpBlock, static_argnums=(3,)) if self.remat else UpBlock
-        x = InputBlock(c, self.act, self.dtype, name="in_block")(x, train)
+        x = InputBlock(c, self.act, self.dtype, self.conv_backend,
+                       name="in_block")(x, train)
         skips.append(x)
         n_stages = len(self.down_convs)
         for i, nconv in enumerate(self.down_convs):
             c *= 2
             x = Down(c, nconv, self.act, self.bottleneck, self.dtype,
-                     name=f"down_{c}")(x, train)
+                     self.conv_backend, name=f"down_{c}")(x, train)
             if i + 1 < n_stages:
                 skips.append(x)
         for nconv in self.up_convs:
             skip = skips.pop()
             x = Up(c, nconv, self.act, self.bottleneck, self.dtype,
-                   name=f"up_{c}")(x, skip, train)
+                   self.conv_backend, name=f"up_{c}")(x, skip, train)
             c //= 2
         return OutputBlock(self.out_channels, self.act, self.dtype,
-                           name="out_block")(x, train, return_logits)
+                           self.conv_backend, name="out_block")(x, train,
+                                                               return_logits)
 
     def max_stride(self) -> int:
         return 2 ** len(self.down_convs)

@@ -98,6 +98,106 @@ def packed_conv3d(x, w, b=None, P: int | None = None, out_dtype=jnp.bfloat16):
     return out.astype(out_dtype)
 
 
+def pick_window_p(cout: int, target: int = 128, cap: int = 32) -> int:
+    """Smallest power-of-2 P with P*cout >= target (the GEMM N dim).
+
+    Capped at 32: for very thin Cout the K-side inflation of a larger P
+    costs more than the N-side lane padding it saves (measured on the
+    32->2 head @64x512^2 slab, bf16: P=16 24.2 ms, P=32 21.9, P=64 60.5).
+    """
+    p = 1
+    while p * cout < target and p < cap:
+        p *= 2
+    return p
+
+
+def window_kernels(w, P: int):
+    """[3,3,3,Cin,Cout] -> (mid, left, right) kernels for the window conv.
+
+    Window index ``j`` of packed column q reads input x = qP + j - 1
+    (j in [0, P+2)). The packed view ``xp`` (a FREE reshape) holds taps
+    j=1..P at channel block j-1; the two halo taps (j=0 / j=P+1) come from
+    1/P-size column-shifted slices. ``mid``: [3,3,1,P*Cin,P*Cout] with
+    ``mid[dz,dy,0,(j-1)*Cin+ci, xo*Cout+co] = w[dz,dy,j-xo,ci,co]``;
+    ``left``/``right``: [3,3,1,Cin,P*Cout] nonzero only in output block
+    xo=0 (tap dx=0) / xo=P-1 (tap dx=2).
+    """
+    kd, kh, kw, cin, cout = w.shape
+    assert (kd, kh, kw) == (3, 3, 3)
+    mid = jnp.zeros((3, 3, 1, P * cin, P * cout), w.dtype)
+    for xo in range(P):
+        for dx in range(3):
+            j = xo + dx
+            if 1 <= j <= P:
+                mid = mid.at[:, :, 0, (j - 1) * cin:j * cin,
+                             xo * cout:(xo + 1) * cout].set(w[:, :, dx])
+    left = jnp.zeros((3, 3, 1, cin, P * cout), w.dtype)
+    left = left.at[:, :, 0, :, :cout].set(w[:, :, 0])
+    right = jnp.zeros((3, 3, 1, cin, P * cout), w.dtype)
+    right = right.at[:, :, 0, :, (P - 1) * cout:].set(w[:, :, 2])
+    return mid, left, right
+
+
+@functools.partial(jax.jit, static_argnames=("P", "out_dtype"))
+def window_conv3d(x, w, b=None, P: int | None = None, out_dtype=jnp.bfloat16):
+    """Stride-1 SAME 3x3x3 conv via overlapping x-window unfolding.
+
+    Strictly better FLOP economics than :func:`packed_conv3d`: packing P
+    x-positions into the GEMM N dim while unfolding the P+2 input columns
+    each window needs into the K dim inflates dense FLOPs by only
+    ``(P+2)/3`` (vs the free-reshape pack's ``P``), at the cost of two
+    1/P-size halo slices. With the smallest P where ``P*Cout >= 128``:
+
+        Cout 64 -> P=2,  inflation 1.33x   (vs 2x packed)
+        Cout 32 -> P=4,  inflation 2x      (vs 4x)
+        Cout 16 -> P=8,  inflation 3.33x   (vs 8x)
+        Cout  2 -> P=64, inflation 22x     (vs 64x effective)
+
+    Pure XLA, differentiable; no activation (XLA fuses the epilogue).
+    """
+    B, D, H, W, cin = x.shape
+    cout = w.shape[-1]
+    cdtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+    if P is None:
+        P = pick_window_p(cout)
+    if P <= 1:
+        return packed_conv3d(x, w, b, P=1, out_dtype=out_dtype)
+
+    cols = -(-W // P)
+    Wp = cols * P
+    xq = x.astype(cdtype)
+    if Wp != W:
+        xq = jnp.pad(xq, ((0, 0),) * 3 + ((0, Wp - W), (0, 0)))
+    # Decompose into THREE convs: the bulk on the FREE packed reshape (taps
+    # j=1..P; no input copy at all), plus two 1/P-size halo convs. Never
+    # materializes a full unfolded copy — a single-conv formulation with a
+    # concatenated [.., (P+2)*Cin] input OOMed the 512^3 slab program (XLA
+    # rematerializes the big temporary with 8-16x tile-padded layouts).
+    xp = xq.reshape(B, D, H, cols, P * cin)
+    pad5 = ((0, 0), (0, 0), (0, 0))
+    l = jnp.pad(xp[:, :, :, :-1, (P - 1) * cin:], pad5 + ((1, 0), (0, 0)))
+    r = jnp.pad(xp[:, :, :, 1:, :cin], pad5 + ((0, 1), (0, 0)))
+
+    mid, wl, wr = window_kernels(w.astype(cdtype), P)
+    zy_same = ((1, 1), (1, 1), (0, 0))
+    dn = ("NDHWC", "DHWIO", "NDHWC")
+    out = jax.lax.conv_general_dilated(
+        xp, mid, (1, 1, 1), zy_same, dimension_numbers=dn,
+        preferred_element_type=jnp.float32)       # [B,D,H,cols,P*cout]
+    out = out + jax.lax.conv_general_dilated(
+        l, wl, (1, 1, 1), zy_same, dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+    out = out + jax.lax.conv_general_dilated(
+        r, wr, (1, 1, 1), zy_same, dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + jnp.tile(b.astype(jnp.float32), (P,)).reshape(1, 1, 1, 1, -1)
+    out = out.reshape(B, D, H, Wp, cout)
+    if Wp != W:
+        out = out[:, :, :, :W]
+    return out.astype(out_dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("out_dtype",))
 def deconv2x(x, w, b=None, out_dtype=jnp.bfloat16):
     """ConvTranspose3d(kernel=2, stride=2, VALID) as GEMM + pixel shuffle.

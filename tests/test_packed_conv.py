@@ -60,6 +60,60 @@ def test_packed_conv_grad():
                                atol=0.08 * float(jnp.max(jnp.abs(g2))))
 
 
+def _check_window(B, D, H, W, cin, cout, P=None):
+    x = jnp.asarray(rng.normal(size=(B, D, H, W, cin)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+    ref = thin_conv3d_reference(x, w, b, "none")
+    out = pk.window_conv3d(x, w, b, P=P, out_dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref),
+        atol=0.05 * float(jnp.max(jnp.abs(ref))), rtol=0.05)
+
+
+@pytest.mark.parametrize("cin,cout", [(16, 16), (1, 16), (32, 32), (64, 64)])
+def test_window_parity_shapes(cin, cout):
+    _check_window(1, 6, 8, 16, cin, cout, P=4)
+
+
+def test_window_parity_default_p():
+    _check_window(1, 5, 7, 16, 16, 16)          # P=8
+    _check_window(2, 4, 6, 8, 8, 32)            # P=4
+
+
+def test_window_parity_unaligned_width():
+    _check_window(1, 4, 8, 20, 16, 16, P=8)     # W=20 -> cols=3, pad 4
+    _check_window(1, 4, 8, 9, 16, 16, P=4)
+
+
+def test_window_parity_head_like():
+    _check_window(1, 4, 8, 64, 32, 2, P=16)     # thin-cout head shape
+
+
+def test_pick_window_p():
+    assert pk.pick_window_p(64) == 2
+    assert pk.pick_window_p(32) == 4
+    assert pk.pick_window_p(16) == 8
+    assert pk.pick_window_p(2) == 32   # capped (see pick_window_p docstring)
+    assert pk.pick_window_p(128) == 1
+
+
+def test_window_conv_grad():
+    x = jnp.asarray(rng.normal(size=(1, 4, 8, 8, 16)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 16, 16)) * 0.1, jnp.float32)
+
+    def f_win(w):
+        return jnp.sum(pk.window_conv3d(x, w, P=4, out_dtype=jnp.float32) ** 2)
+
+    def f_ref(w):
+        return jnp.sum(thin_conv3d_reference(x, w, None, "none") ** 2)
+
+    g1 = jax.grad(f_win)(w)
+    g2 = jax.grad(f_ref)(w)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=0.08,
+                               atol=0.08 * float(jnp.max(jnp.abs(g2))))
+
+
 def test_deconv2x_matches_conv_transpose():
     """Pixel-shuffle GEMM == jax.lax.conv_transpose (k=2, s=2, VALID)."""
     x = jnp.asarray(rng.normal(size=(2, 3, 4, 5, 16)), jnp.float32)

@@ -13,6 +13,22 @@ def _init(net, shape):
     return variables, x
 
 
+def test_conv_backend_window_same_params_and_output():
+    """conv_backend='window' keeps the param tree (checkpoint contract) and
+    computes the same function as the direct lowering."""
+    import jax.tree_util as jtu
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 32, 1)), jnp.float32)
+    net_d = SegmentationNet(1, 2)
+    net_w = SegmentationNet(1, 2, conv_backend="window")
+    v = net_d.init(jax.random.PRNGKey(0), x, train=False)
+    v2 = net_w.init(jax.random.PRNGKey(0), x, train=False)
+    assert jtu.tree_structure(v) == jtu.tree_structure(v2)
+    od = net_d.apply(v, x, train=False)
+    ow = net_w.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(od), np.asarray(ow), atol=2e-2)
+
+
 def test_registry():
     mod = get_network_module("vnet")
     assert mod.max_stride() == 16
