@@ -60,11 +60,11 @@ def main():
         batch = args.batch
     x0 = jnp.zeros((1, 32, 32, 32, 1), jnp.float32)
     variables = net.init(jax.random.PRNGKey(0), x0, train=False)
-    apply_fn = None
+    apply_fn = apply_vars = None
     if args.fused == "1":
         from segmentation3d_tpu.models.fused_vnet import build_fused_forward
-        apply_fn = build_fused_forward(net, variables, dtype=dtype,
-                                       wide_xy=bool(args.slab))
+        apply_fn, apply_vars = build_fused_forward(net, variables, dtype=dtype,
+                                                   wide_xy=bool(args.slab))
 
     rng = np.random.default_rng(0)
     size = args.size
@@ -73,7 +73,7 @@ def main():
 
     inferer = SlidingWindowInferer(
         net, patch_zyx, args.classes, batch_size=batch,
-        blend="gaussian", apply_fn=apply_fn)
+        blend="gaussian", apply_fn=apply_fn, apply_vars=apply_vars)
     stride = stride_zyx
 
     # warm-up / compile

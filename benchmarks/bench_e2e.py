@@ -30,15 +30,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def synth_case(path, shape_zyx, spacing_xyz, seed):
-    """A CT-like volume with soft-tissue texture (gzip-realistic entropy)."""
+    """A CT-like volume with soft-tissue texture (gzip-realistic entropy).
+
+    Stored as int16 — the dtype real CT volumes use on disk. The pipeline
+    uploads the STORED dtype and casts to f32 on device, so this halves the
+    host->device bytes vs a float32 file (the realistic case)."""
     from segmentation3d_tpu.io import Volume, write_image
     from segmentation3d_tpu.ops.geometry import Frame
     rng = np.random.default_rng(seed)
     d, h, w = shape_zyx
-    vol = rng.normal(40.0, 120.0, (d, h, w)).astype(np.float32)
+    vol = rng.normal(40.0, 120.0, (d, h, w))
     z, y, x = np.mgrid[0:d, 0:h, 0:w]
     r2 = ((z - d / 2) ** 2 + (y - h / 2) ** 2 + (x - w / 2) ** 2)
     vol += np.where(r2 < (0.3 * min(d, h, w)) ** 2, 160.0, -80.0)
+    vol = np.clip(np.round(vol), -1024, 3071).astype(np.int16)
     write_image(Volume(vol, Frame.identity(spacing=spacing_xyz)), path)
     return path
 

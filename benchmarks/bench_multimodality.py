@@ -43,7 +43,7 @@ def main():
     net = SegmentationNet(in_channels=4, out_channels=4, dtype=dtype)
     x0 = jnp.zeros((1, 32, 32, 32, 4), jnp.float32)
     variables = net.init(jax.random.PRNGKey(0), x0, train=False)
-    apply_fn = build_fused_forward(net, variables, dtype=dtype)
+    apply_fn, fused_vars = build_fused_forward(net, variables, dtype=dtype)
 
     rng = np.random.default_rng(0)
     p = args.patch
@@ -52,12 +52,13 @@ def main():
     xb = jax.device_put(jnp.asarray(
         rng.normal(size=(args.batch, p, p, p, 4)), jnp.float32).astype(dtype))
     fwd = jax.jit(lambda v, x: apply_fn(v, x, train=False))
-    out = fwd(variables, xb)
+    fused_vars = jax.device_put(fused_vars)
+    out = fwd(fused_vars, xb)
     np.asarray(out[0, 0, 0, 0])
     times = []
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        out = fwd(variables, xb)
+        out = fwd(fused_vars, xb)
         np.asarray(out[0, 0, 0, 0])
         times.append(time.perf_counter() - t0)
     ms_patch = min(times) / args.batch * 1e3
@@ -80,7 +81,8 @@ def main():
     norm_s = time.perf_counter() - t_host0
 
     inferer = SlidingWindowInferer(net, (p, p, p), 4, batch_size=args.batch,
-                                   blend="gaussian", apply_fn=apply_fn)
+                                   blend="gaussian", apply_fn=apply_fn,
+                                   apply_vars=fused_vars)
     stride = (args.stride,) * 3
     seg = inferer(variables, vol_n, stride_zyx=stride)
     np.asarray(seg[0, :2, 0])

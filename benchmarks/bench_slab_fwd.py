@@ -57,13 +57,15 @@ def main():
     for name in args.variants.split(","):
         kw = VARIANTS[name]
         try:
-            fn = jax.jit(build_fused_forward(net, variables, dtype=dtype, **kw))
-            out = fn(variables, x)
+            afn, fv = build_fused_forward(net, variables, dtype=dtype, **kw)
+            fn = jax.jit(afn)
+            fv = jax.device_put(fv)
+            out = fn(fv, x)
             np.asarray(out[0, 0, 0, 0])
             times = []
             for _ in range(args.reps):
                 t0 = time.perf_counter()
-                out = fn(variables, x)
+                out = fn(fv, x)
                 np.asarray(out[0, 0, 0, 0])
                 times.append(time.perf_counter() - t0)
             print(json.dumps({"variant": name,

@@ -92,7 +92,8 @@ def segment_case_coarse_to_fine(
     if key not in coarse_inferer_cache:
         coarse_inferer_cache[key] = SlidingWindowInferer(
             coarse.net, key, coarse.out_channels, batch_size=1,
-            blend="constant", apply_fn=getattr(coarse, "fused_apply", None))
+            blend="constant", apply_fn=getattr(coarse, "fused_apply", None),
+            apply_vars=getattr(coarse, "fused_vars", None))
     coarse_mask = np.asarray(coarse_inferer_cache[key](coarse.variables, cvol))
 
     roi = roi_from_mask(coarse_mask, c_frame, margin_mm)

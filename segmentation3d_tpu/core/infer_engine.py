@@ -50,6 +50,27 @@ def make_weight_map(patch_size_zyx, kind: str = "gaussian", sigma_scale: float =
     return w[..., None]
 
 
+def weight_map_traced(patch_size_zyx, kind: str = "gaussian",
+                      sigma_scale: float = 0.125, dtype=jnp.float32):
+    """:func:`make_weight_map` built INSIDE the trace from three 1-D
+    gaussians (separable outer product). A 64x512^2 slab map materialized
+    as a closure constant put 67 MB into the HLO — hashing/serializing it
+    dominated first-call latency on the remote-compile link; as ~30 traced
+    flops it costs nothing and the HLO stays shape-only."""
+    pd, ph, pw = patch_size_zyx
+    if kind == "constant":
+        return jnp.ones((pd, ph, pw, 1), dtype)
+    sig = 2.0 * sigma_scale
+
+    def g(n):
+        t = jnp.linspace(-1.0, 1.0, n)
+        return jnp.exp(-0.5 * (t / sig) ** 2)
+
+    w = g(pd)[:, None, None] * g(ph)[None, :, None] * g(pw)[None, None, :]
+    w = jnp.maximum(w, jnp.max(w) * 1e-3)
+    return w[..., None].astype(dtype)
+
+
 class SlidingWindowInferer:
     """Jitted whole-volume inference: partition -> batched forward -> blend.
 
@@ -59,16 +80,23 @@ class SlidingWindowInferer:
 
     def __init__(self, net, patch_size_zyx, num_classes, batch_size=8,
                  blend="gaussian", out_dtype=jnp.float32, apply_fn=None,
-                 mesh=None):
+                 mesh=None, apply_vars=None):
         self.net = net
         self.apply_fn = apply_fn  # overrides net.apply (e.g. fused forward)
         self.patch_size = tuple(int(v) for v in patch_size_zyx)
         self.num_classes = int(num_classes)
         self.batch_size = int(batch_size)
-        self.weight = jnp.asarray(make_weight_map(self.patch_size, blend))
+        self.blend = blend  # weight map is built inside the trace
         self.out_dtype = out_dtype
         # multi-chip: split the box-batch axis over mesh axis "data"
         self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
+        # apply_fn's own parameter tree (e.g. the fused forward's folded
+        # kernels): staged to device ONCE here, substituted for the caller's
+        # ``variables`` at every __call__
+        self.apply_vars = None
+        if apply_vars is not None:
+            import jax as _jax
+            self.apply_vars = _jax.device_put(apply_vars)
 
     def boxes_for(self, vol_shape_zyx, stride_zyx=None):
         """Patch start coordinates (N,3) zyx for a volume shape."""
@@ -90,7 +118,8 @@ class SlidingWindowInferer:
         nc = self.num_classes
         prob = jnp.zeros(vol.shape[:3] + (nc,), self.out_dtype)
         wsum = jnp.zeros(vol.shape[:3] + (1,), self.out_dtype)
-        weight = self.weight.astype(self.out_dtype)
+        weight = weight_map_traced(self.patch_size, self.blend,
+                                   dtype=self.out_dtype)
 
         def fwd(patches):
             if self.apply_fn is not None:
@@ -166,6 +195,8 @@ class SlidingWindowInferer:
         """
         if vol.ndim == 3:
             vol = vol[..., None]
+        if self.apply_vars is not None:
+            variables = self.apply_vars
         boxes = self.boxes_for(vol.shape[:3], stride_zyx)
         n = len(boxes)
         b = min(self.batch_size, n)

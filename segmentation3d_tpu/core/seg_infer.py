@@ -27,7 +27,8 @@ from segmentation3d_tpu.models import get_network_module
 from segmentation3d_tpu.ops.components import (
     pick_largest_connected_component, remove_small_connected_component,
 )
-from segmentation3d_tpu.ops.resample import resample_spacing, resample_to_frame, NN
+from segmentation3d_tpu.ops.resample import (
+    resample_spacing, resample_to_frame, resample_plan, resample_exec, NN)
 from segmentation3d_tpu.utils import model_io
 from segmentation3d_tpu.utils.normalizer import normalizer_from_dict
 
@@ -139,29 +140,41 @@ import threading as _threading
 
 class _ReadAhead:
     """Background-thread case reader: host file I/O of case N+1 overlaps the
-    device compute of case N."""
+    device compute of case N.
 
-    def __init__(self, cases, depth=2):
+    Volumes are read in their STORED dtype (CT is almost always int16 on
+    disk) and ``jax.device_put`` is issued from this thread, so the
+    host->device transfer (the axon link moves ~20-25 MB/s — measured) both
+    starts early and moves half the bytes of the old float32 upload. The
+    device arrays ride along in ``Volume.data``'s place via the ``devs``
+    element; the host numpy stays available for ``save_image``."""
+
+    def __init__(self, cases, depth=2, to_device=True):
         self.q = _queue.Queue(maxsize=max(1, depth))
-        self._t = _threading.Thread(target=self._run, args=(list(cases),),
+        self._t = _threading.Thread(target=self._run,
+                                    args=(list(cases), to_device),
                                     daemon=True)
         self._t.start()
 
-    def _run(self, cases):
+    def _run(self, cases, to_device):
+        import jax
         for image_paths in cases:
             try:
-                vols = [read_image(p, dtype=np.float32) for p in image_paths]
-                self.q.put((image_paths, vols, None))
+                vols = [read_image(p) for p in image_paths]
+                devs = None
+                if to_device:
+                    devs = [jax.device_put(v.data) for v in vols]
+                self.q.put((image_paths, vols, devs, None))
             except Exception as e:  # surface the error at consumption time
-                self.q.put((image_paths, None, e))
+                self.q.put((image_paths, None, None, e))
         self.q.put(None)
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        """Yields (paths, vols, read_error); one unreadable case must not
-        abort the batch run (the reference's per-case loop fails at worst
+        """Yields (paths, vols, devs, read_error); one unreadable case must
+        not abort the batch run (the reference's per-case loop fails at worst
         one case, SURVEY.md §3.2) — the caller decides."""
         item = self.q.get()
         if item is None:
@@ -169,11 +182,26 @@ class _ReadAhead:
         return item
 
 
+class _DeferredVolume:
+    """A result volume whose voxels still live ON DEVICE (bit-packed mask or
+    f16 prob map). ``materialize()`` performs the device->host transfer,
+    unpack, and optional connected-component post-processing — called from
+    the write-behind thread so the slow host link (~20-25 MB/s measured)
+    overlaps the NEXT case's device compute instead of serializing after it."""
+
+    def __init__(self, frame, thunk):
+        self.frame = frame
+        self._thunk = thunk  # () -> host np.ndarray (does its own D2H)
+
+    def materialize(self) -> Volume:
+        return Volume(self._thunk(), self.frame)
+
+
 class _WriteBehind:
-    """Background-thread mask writer: gzip-compress + write of case N
-    overlaps device compute of case N+1 (the mirror of :class:`_ReadAhead`;
-    on this 1-core host a 512^3 mask gzip-write costs ~1 s of the per-case
-    budget otherwise)."""
+    """Background-thread result writer: device->host readback of case N's
+    results + gzip-compress + write overlap device compute of case N+1 (the
+    mirror of :class:`_ReadAhead`; serial, these cost multiple seconds of
+    the per-case budget on this host)."""
 
     def __init__(self, depth=2):
         self.q = _queue.Queue(maxsize=max(1, depth))
@@ -189,6 +217,8 @@ class _WriteBehind:
             case_name, jobs = item
             try:
                 for vol, path in jobs:
+                    if isinstance(vol, _DeferredVolume):
+                        vol = vol.materialize()
                     write_image(vol, path)
             except Exception as e:  # noqa: BLE001 — collected, surfaced at end
                 self.failures.append((case_name, e))
@@ -202,20 +232,75 @@ class _WriteBehind:
         return self.failures
 
 
+import functools as _functools
+
+import jax as _jax
+
+
+@_functools.partial(_jax.jit, static_argnames=(
+    "kind", "out_shape", "interp", "fill", "norm_spec", "valid_zyx"))
+def _prep_modality(src, coeffs, *, kind, out_shape, interp, fill,
+                   norm_spec, valid_zyx):
+    """ONE program for a modality's whole device-side preprocessing:
+    stored-dtype upload -> f32 resample onto the iso grid -> normalize.
+    Fusing these (instead of eager resample + eager normalizer ops) matters
+    on the remote-compile relay, where every distinct program costs seconds to
+    minutes of first-call latency — program COUNT is a first-order cost.
+    ``norm_spec``: hashable ``tuple(sorted(normalizer.to_dict().items()))``
+    or None; ``valid_zyx``: unpadded region for adaptive stats (None for
+    non-adaptive specs so shared cases don't fork compilations)."""
+    iso = resample_exec(src, kind, coeffs, out_shape, interp, fill,
+                        out_dtype=jnp.float32)
+    if norm_spec is not None:
+        norm = normalizer_from_dict(dict(norm_spec))
+        from segmentation3d_tpu.utils.normalizer import AdaptiveNormalizer
+        if isinstance(norm, AdaptiveNormalizer):
+            vz, vy, vx = valid_zyx
+            iso = norm(iso, stats_of=iso[:vz, :vy, :vx])
+        else:
+            iso = norm(iso)
+    return iso
+
+
+@_functools.partial(_jax.jit, static_argnames=(
+    "kind", "out_shape", "num_classes"))
+def _post_mask(seg, coeffs, *, kind, out_shape, num_classes):
+    """ONE program for mask finalization: NN-resample the iso label map back
+    to the native grid and bit-pack it for the cheap device->host readback."""
+    from segmentation3d_tpu.ops.mask_pack import pack_mask
+    m = resample_exec(seg.astype(jnp.int32), kind, coeffs, out_shape,
+                      interp=NN, fill=0.0)
+    return pack_mask(m, num_classes)
+
+
+@_functools.partial(_jax.jit, static_argnames=("kind", "out_shape"))
+def _post_prob(prob, coeffs, *, kind, out_shape):
+    """ONE program resampling ALL class probability maps back to the native
+    grid, f16 for the halved readback."""
+    return resample_exec(prob, kind, coeffs, out_shape,
+                         out_dtype=jnp.float16)
+
+
 def segmentation_one_case(model: SegModel, image_paths, inferer: SlidingWindowInferer,
                           stride_zyx=None, save_prob=False, post_processing=None,
                           fill_value: float = 0.0, shape_bucket: int = 64,
-                          vols=None):
+                          vols=None, dev_data=None, defer_host=False):
     """Segment one (possibly multi-modality) case. Returns (mask Volume,
     prob arrays or None, native Volume, seconds).
 
     ``shape_bucket``: iso volumes are padded up to multiples of this (instead
     of just ``max_stride``) so cases of similar size share one compiled
     program — compile time dominates the first case per shape otherwise.
+
+    ``dev_data``: optional per-modality DEVICE arrays (stored-dtype uploads
+    issued from the read-ahead thread) used in place of ``vols[i].data``.
+    ``defer_host=True`` returns the mask as a :class:`_DeferredVolume`
+    (bit-packed, still on device) so the device->host readback and CC
+    post-processing run in the write-behind thread.
     """
     t0 = time.time()
     if vols is None:
-        vols = [read_image(p, dtype=np.float32) for p in image_paths]
+        vols = [read_image(p) for p in image_paths]
     native = vols[0]
     assert len(vols) == model.in_channels, (
         f"model expects {model.in_channels} modalities, got {len(vols)}")
@@ -231,48 +316,81 @@ def segmentation_one_case(model: SegModel, image_paths, inferer: SlidingWindowIn
     from segmentation3d_tpu.utils.normalizer import AdaptiveNormalizer
     # valid (unpadded) region of the shared iso grid, for adaptive stats
     _, valid = resampled_frame(vols[0].frame, vols[0].size_xyz, model.spacing, 1)
+    iso_frame, iso_size = resampled_frame(
+        vols[0].frame, vols[0].size_xyz, model.spacing, pad_mult)
     for mi, v in enumerate(vols):
-        if mi == 0:
-            iso, iso_frame, iso_size = resample_spacing(
-                v.data, v.frame, model.spacing, pad_to_multiple=pad_mult,
-                interp=model.interpolation, fill=fill_value)
-        else:
-            iso = resample_to_frame(
-                v.data, v.frame, iso_frame, iso_size,
-                interp=model.interpolation, fill=fill_value)
+        # stored-dtype upload (int16 CT halves the H2D bytes; the f32 cast
+        # happens on device inside the fused preprocess program)
+        src = dev_data[mi] if dev_data is not None else v.data
+        kind, coeffs, out_shape = resample_plan(v.frame, iso_frame, iso_size)
         norm = model.normalizers[mi]
-        if isinstance(norm, AdaptiveNormalizer):
-            # percentile window from the VALID region only — bucket padding
-            # (fill voxels) must not skew the intensity statistics
-            iso = norm(iso, stats_of=iso[:valid[2], :valid[1], :valid[0]])
-        elif norm is not None:
-            iso = norm(iso)
+        norm_spec = tuple(sorted(norm.to_dict().items())) \
+            if norm is not None else None
+        # percentile window from the VALID region only — bucket padding
+        # (fill voxels) must not skew the intensity statistics
+        valid_zyx = (int(valid[2]), int(valid[1]), int(valid[0])) \
+            if isinstance(norm, AdaptiveNormalizer) else None
+        iso = _prep_modality(jnp.asarray(src), jnp.asarray(coeffs),
+                             kind=kind, out_shape=out_shape,
+                             interp=model.interpolation, fill=fill_value,
+                             norm_spec=norm_spec, valid_zyx=valid_zyx)
         channels.append(iso)
     vol = jnp.stack(channels, axis=-1)  # [D,H,W,C]
 
     seg_iso, prob = inferer(model.variables, vol, stride_zyx=stride_zyx,
                             return_prob=True)
 
-    # resample mask back to the native input frame (NN)
-    mask_native = resample_to_frame(
-        seg_iso.astype(jnp.int32), iso_frame, native.frame,
-        native.size_xyz, interp=NN)
-    mask_np = np.asarray(mask_native).astype(np.uint8)
+    # resample mask back to the native input frame (NN), then bit-pack it on
+    # device: the host link is the bottleneck (~20-25 MB/s measured), so a
+    # binary 384^3 mask crosses as 7 MB instead of 226 MB of int32
+    from segmentation3d_tpu.ops.mask_pack import unpack_mask
+    back_kind, back_coeffs, back_shape = resample_plan(
+        iso_frame, native.frame, native.size_xyz)
+    nx = int(native.size_xyz[0])
+    packed = _post_mask(seg_iso, jnp.asarray(back_coeffs), kind=back_kind,
+                        out_shape=back_shape, num_classes=model.out_channels)
 
-    if post_processing:
-        kind = post_processing.get("type")
-        if kind == "largest_cc":
-            mask_np = pick_largest_connected_component(mask_np)
-        elif kind == "remove_small_cc":
-            mask_np = remove_small_connected_component(
-                mask_np, int(post_processing.get("threshold", 64)))
+    def to_mask():
+        m = unpack_mask(np.asarray(packed), nx, model.out_channels)
+        if post_processing:
+            kind = post_processing.get("type")
+            if kind == "largest_cc":
+                m = pick_largest_connected_component(m)
+            elif kind == "remove_small_cc":
+                m = remove_small_connected_component(
+                    m, int(post_processing.get("threshold", 64)))
+        return m
 
     prob_out = None
     if save_prob:
-        prob_out = [(c, np.asarray(resample_to_frame(
-            prob[..., c], iso_frame, native.frame, native.size_xyz)))
-            for c in range(model.out_channels)]
-    return Volume(mask_np, native.frame), prob_out, native, time.time() - t0
+        # ONE program resamples all classes; f16 halves the readback, and
+        # the host copy is pulled ONCE and shared by the per-class volumes.
+        # On-disk maps are cast back to f32 (the compute was bf16/f32 — f16
+        # adds ~1e-3 relative noise to a visualization artifact).
+        prob_native = _post_prob(prob, jnp.asarray(back_coeffs),
+                                 kind=back_kind, out_shape=back_shape)
+        host_cache = {}
+
+        def prob_host():
+            if "a" not in host_cache:
+                host_cache["a"] = np.asarray(prob_native)
+            return host_cache["a"]
+
+        def chan(c):
+            return lambda: prob_host()[..., c].astype(np.float32)
+
+        prob_out = []
+        for c in range(model.out_channels):
+            if defer_host:
+                prob_out.append((c, _DeferredVolume(native.frame, chan(c))))
+            else:
+                prob_out.append((c, chan(c)()))
+
+    if defer_host:
+        mask_vol = _DeferredVolume(native.frame, to_mask)
+    else:
+        mask_vol = Volume(to_mask(), native.frame)
+    return mask_vol, prob_out, native, time.time() - t0
 
 
 def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
@@ -303,17 +421,18 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
         m = make_mesh(num_devices)
         if m.devices.size > 1:
             mesh = m
-    apply_fn = None
+    apply_fn = apply_vars = None
     if fused is None:
         import jax
         fused = (dtype == jnp.bfloat16 and jax.default_backend() != "cpu")
     if fused:
         try:
             from segmentation3d_tpu.models.fused_vnet import build_fused_forward
-            apply_fn = build_fused_forward(model.net, model.variables, dtype=dtype,
-                                           wide_xy=(partition_type == SLAB))
+            apply_fn, apply_vars = build_fused_forward(
+                model.net, model.variables, dtype=dtype,
+                wide_xy=(partition_type == SLAB))
         except (NotImplementedError, KeyError):
-            apply_fn = None
+            apply_fn = apply_vars = None
     cases = find_cases(input_path)
     os.makedirs(output_dir, exist_ok=True)
     if not cases:
@@ -324,7 +443,7 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     results = []
     failures = []
     writer = _WriteBehind()
-    for image_paths, vols, read_err in _ReadAhead(cases):
+    for image_paths, vols, devs, read_err in _ReadAhead(cases):
         case_name = os.path.basename(image_paths[0])
         for suf in IMAGE_EXTS:
             if case_name.endswith(suf):
@@ -389,27 +508,29 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
                 inferers[key] = SpatialShardedInferer(
                     model.net, slab_z=patch[0], num_classes=model.out_channels,
                     mesh=mesh, stride_z=stride[0], blend=blend,
-                    apply_fn=apply_fn)
+                    apply_fn=apply_fn, apply_vars=apply_vars)
             else:
                 inferers[key] = SlidingWindowInferer(
                     model.net, patch, model.out_channels,
                     batch_size=batch_size,
                     blend=blend if stride != patch else "constant",
-                    apply_fn=apply_fn, mesh=mesh)
+                    apply_fn=apply_fn, mesh=mesh, apply_vars=apply_vars)
         inferer = inferers[key]
 
         try:
             mask_vol, prob_out, native, secs = segmentation_one_case(
                 model, image_paths, inferer, stride_zyx=stride,
                 save_prob=save_prob, post_processing=post_processing,
-                shape_bucket=shape_bucket, vols=vols)
+                shape_bucket=shape_bucket, vols=vols, dev_data=devs,
+                defer_host=True)
 
             case_dir = os.path.join(output_dir, case_name)
             jobs = [(mask_vol, os.path.join(case_dir, seg_name))]
             if save_image:
                 jobs.append((native, os.path.join(case_dir, "org.mha")))
             if prob_out:
-                jobs.extend((Volume(p, native.frame),
+                jobs.extend((p if isinstance(p, _DeferredVolume)
+                             else Volume(p, native.frame),
                              os.path.join(case_dir, f"prob_{c}.mha"))
                             for c, p in prob_out)
             writer.submit(case_name, jobs)

@@ -61,7 +61,7 @@ class SpatialShardedInferer:
 
     def __init__(self, net, slab_z: int, num_classes: int, mesh,
                  stride_z: int | None = None, blend: str = "gaussian",
-                 out_dtype=jnp.float32, apply_fn=None):
+                 out_dtype=jnp.float32, apply_fn=None, apply_vars=None):
         self.net = net
         self.apply_fn = apply_fn
         self.pz = int(slab_z)
@@ -70,6 +70,10 @@ class SpatialShardedInferer:
         self.mesh = mesh
         self.weight = jnp.asarray(z_weight_profile(self.pz, blend))
         self.out_dtype = out_dtype
+        # apply_fn's own parameter tree (fused forward) — substituted for
+        # the caller's ``variables`` at __call__ (see SlidingWindowInferer)
+        self.apply_vars = jax.device_put(apply_vars) \
+            if apply_vars is not None else None
 
     def _fwd(self, variables, patch):
         if self.apply_fn is not None:
@@ -158,6 +162,8 @@ class SpatialShardedInferer:
         """
         if stride_zyx is not None:
             self.sz = int(np.asarray(stride_zyx).reshape(-1)[0])
+        if self.apply_vars is not None:
+            variables = self.apply_vars
         if vol.ndim == 3:
             vol = vol[..., None]
         D = vol.shape[0]

@@ -21,20 +21,31 @@ slab program at compile, deconv2x breaks fusion with the following
 concat+res conv (235 vs 204 ms/slab measured). Everything else (stride-2
 down convs, wide convs, 1x1 projection) stays on direct XLA convs.
 
-``build_fused_forward(net, variables)`` returns ``apply_fn(variables, x,
-train=False)`` computing the same function as ``net.apply(variables, x,
-train=False)`` (within bf16 tolerance) — drop-in for
-``SlidingWindowInferer(apply_fn=...)``.
+``build_fused_forward(net, variables)`` returns ``(apply_fn, fused_vars)``:
+``apply_fn(fused_vars, x, train=False)`` computes the same function as
+``net.apply(variables, x, train=False)`` (within bf16 tolerance). The
+folded + pre-packed kernels live in ``fused_vars`` — a flat numpy pytree
+passed as a JIT ARGUMENT, not captured as closure constants. Embedding them
+as constants made the sliding-window HLO ~190 MB (the 64x512^2 program):
+hashing/serializing it dominated first-case latency (~2 min per new
+inferer over the remote-compile link), the persistent compile cache keyed
+on the weight VALUES (new checkpoint = full recompile), and tracing paid
+for P*3 scatter ops per conv site. As arguments, the program is a few KB
+of HLO and one compiled executable serves every checkpoint of the same
+architecture. Drop-in for ``SlidingWindowInferer(apply_fn=..,
+apply_vars=..)``.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from segmentation3d_tpu.models.vnet import SegmentationNet
 from segmentation3d_tpu.ops.pallas_conv import thin_conv3d, fold_bn
 from segmentation3d_tpu.ops.packed_conv import (
-    packed_conv3d, window_conv3d, deconv2x, pick_p, pick_window_p)
+    packed_conv3d_pre, window_conv3d_pre, pack_kernel_np, window_kernels_np,
+    deconv2x, pick_p, pick_window_p)
 
 # route a stride-1 3x3x3 conv through Pallas when Cout is this thin or less
 PALLAS_COUT_MAX = 32
@@ -68,15 +79,17 @@ def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
                         use_deconv2x: bool = False,
                         wide_xy: bool = False,
                         window_couts: tuple | None = None):
-    # Measured routing defaults (benchmarks/bench_convs.py, TPU v5e, bf16,
-    # 64x512^2 slab planes): thin stride-1 3^3 convs -> window-GEMM conv
-    # (stem 12.5->8.8 ms vs packed, res16 25.2->17.2, up32res 45.3->33.0);
-    # the 32->2 head -> Pallas y-tiled kernel on TPU (18.3 ms vs packed
-    # 39.0 / best window 21.9). ``pallas_sites``/``use_pallas`` widen the
-    # Pallas routing for experiments; on non-TPU backends Pallas is skipped
-    # (Mosaic kernels don't lower there) and the head takes the window path.
-    """Build the fused apply function. Captures folded weights as constants
-    of the returned closure (re-build after loading new variables)."""
+    """Two-phase build. Phase 1 (here, host numpy): fold BN into every conv,
+    decide each site's lowering route (measured defaults below), and
+    pre-pack window/packed kernels. Phase 2 (the returned ``apply_fn``,
+    traced): consume the prebuilt arrays from the ``fused_vars`` argument.
+
+    Measured routing defaults (benchmarks/bench_convs.py, TPU v5e, bf16,
+    64x512^2 slab planes): thin stride-1 3^3 convs -> window-GEMM conv
+    (stem 12.5->8.8 ms vs packed, res16 25.2->17.2, up32res 45.3->33.0).
+    ``pallas_sites``/``use_pallas`` widen the Pallas routing for experiments;
+    on non-TPU backends Pallas is skipped (Mosaic kernels don't lower there).
+    """
     del wide_xy  # routing no longer shape-dependent (kept for API compat)
     if pallas_sites is None:
         # Pallas stays opt-in: the y-tiled head kernel wins isolated
@@ -96,111 +109,177 @@ def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
     s = variables["batch_stats"]
     act_kind = net.act
 
-    def folded(pp, ss):
-        return fold_bn(pp["conv"]["kernel"],
+    fv = {}    # flat key -> dict of numpy arrays (the jit-argument pytree)
+    meta = {}  # flat key -> static routing info captured by the closure
+
+    def folded_np(pp, ss):
+        w, b = fold_bn(pp["conv"]["kernel"],
                        pp["conv"].get("bias"),
                        pp["bn"]["scale"], pp["bn"]["bias"],
                        ss["bn"]["mean"], ss["bn"]["var"])
+        return np.asarray(w, np.float32), np.asarray(b, np.float32)
 
     def alpha_of(pp, name):
         if act_kind == "prelu" and name in pp:
             return float(jnp.reshape(pp[name]["alpha"], ())[...])
         return 0.25
 
-    def conv_bn_act(x, pp, ss, act=True, pname="act", site="res"):
-        w, b = folded(pp, ss)
-        cout = w.shape[-1]
+    # ---- phase 1: register each conv site -------------------------------
+    def reg_conv(key, pp, ss, act=True, pname="act", site="res",
+                 residual=None):
+        w, b = folded_np(pp, ss)
+        cin, cout = int(w.shape[3]), int(w.shape[4])
         kind = act_kind if act else "none"
-        alpha = alpha_of(pp, pname)
+        m = {"act": kind, "alpha": alpha_of(pp, pname), "cout": cout,
+             "residual": residual}
         if (site in pallas_sites and w.shape[:3] == (3, 3, 3)
-                and cout <= PALLAS_COUT_MAX and x.shape[3] >= 8):
-            return thin_conv3d(x.astype(dtype), w, b, act=kind, alpha=alpha,
-                               out_dtype=dtype, interpret=interpret)
-        if (site in window_sites and w.shape[:3] == (3, 3, 3)
+                and cout <= PALLAS_COUT_MAX
+                and (residual is None or cin == cout)):
+            m["route"], m["res_alpha"] = "pallas", (residual or {}).get("alpha")
+            fv[key] = {"w": w, "b": b}
+        elif (site in window_sites and w.shape[:3] == (3, 3, 3)
                 and pick_window_p(cout) > 1
                 and (window_couts is None or cout in window_couts)):
-            out = window_conv3d(x.astype(dtype), w, b, out_dtype=jnp.float32)
-            return _act(out, kind, alpha).astype(dtype)
-        if (site in packed_sites and w.shape[:3] == (3, 3, 3)
-                and pick_p(w.shape[3], cout) > 1):
-            out = packed_conv3d(x.astype(dtype), w, b, out_dtype=jnp.float32)
-            return _act(out, kind, alpha).astype(dtype)
-        out = _xla_conv(x, w, b)
-        return _act(out, kind, alpha).astype(dtype)
+            P = pick_window_p(cout)
+            mid, wl, wr = window_kernels_np(w, P)
+            m["route"], m["P"] = "window", P
+            fv[key] = {"mid": mid, "left": wl, "right": wr,
+                       "b": np.tile(b, P)}
+        elif (site in packed_sites and w.shape[:3] == (3, 3, 3)
+                and pick_p(cin, cout) > 1):
+            P = pick_p(cin, cout)
+            m["route"], m["P"] = "packed", P
+            fv[key] = {"wk": pack_kernel_np(w, P), "b": np.tile(b, P)}
+        else:
+            m["route"] = "xla"
+            fv[key] = {"w": w, "b": b}
+        meta[key] = m
 
-    def strided_bn_act(x, pp, conv_name, bn_name, act_name, ss, transpose=False):
+    def reg_strided(key, pp, conv_name, bn_name, act_name, ss, transpose):
         w, b = fold_bn(pp[conv_name]["kernel"], pp[conv_name].get("bias"),
                        pp[bn_name]["scale"], pp[bn_name]["bias"],
                        ss[bn_name]["mean"], ss[bn_name]["var"])
-        if transpose and use_deconv2x:
-            # k=2/s=2 deconv == pixel-shuffle GEMM. Isolated it beats the
-            # direct conv_transpose lowering, but IN-NET (all packed sites)
-            # the interleave transpose breaks fusion with the following
-            # concat+res conv: 235 vs 204 ms/slab-fwd measured — so the
-            # default stays on conv_transpose; this is the opt-in variant.
-            out = deconv2x(x.astype(dtype), w, b, out_dtype=jnp.float32)
-        elif transpose:
-            out = jax.lax.conv_transpose(
-                x.astype(dtype), w.astype(dtype), (2, 2, 2), "VALID",
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                preferred_element_type=jnp.float32)
-            out = out + b.reshape(1, 1, 1, 1, -1).astype(jnp.float32)
-        else:
-            out = _xla_conv(x, w, b, strides=(2, 2, 2), padding="VALID")
-        return _act(out, act_kind, alpha_of(pp, act_name)).astype(dtype)
+        fv[key] = {"w": np.asarray(w, np.float32),
+                   "b": np.asarray(b, np.float32)}
+        meta[key] = {"transpose": transpose, "alpha": alpha_of(pp, act_name)}
 
-    def res_block(x, pp, ss, num_convs):
+    def reg_res_block(key, pp, ss, num_convs, site="res"):
+        residual = None
         if num_convs == 1 and "res" in pallas_sites:
             # single-conv residual blocks (all the thin ones in this V-Net)
-            # fuse ENTIRELY into one kernel pass: conv+bn+act+add+act_out,
-            # identity read from the already-resident center plane
-            w, b = folded(pp["conv0"], ss["conv0"])
-            if (w.shape[:3] == (3, 3, 3) and w.shape[3] == w.shape[4]
-                    and w.shape[4] <= PALLAS_COUT_MAX and x.shape[3] >= 8):
-                return thin_conv3d(
-                    x.astype(dtype), w, b, act=act_kind,
-                    alpha=alpha_of(pp["conv0"], "act"), out_dtype=dtype,
-                    interpret=interpret, residual=act_kind,
-                    res_alpha=alpha_of(pp, "act_out"))
-        h = x
+            # can fuse ENTIRELY into one Pallas pass: conv+bn+act+add+act_out
+            residual = {"alpha": alpha_of(pp, "act_out")}
         for i in range(num_convs):
-            h = conv_bn_act(h, pp[f"conv{i}"], ss[f"conv{i}"], act=True)
-        return _act(x + h, act_kind, alpha_of(pp, "act_out")).astype(dtype)
+            reg_conv(f"{key}/conv{i}", pp[f"conv{i}"], ss[f"conv{i}"],
+                     act=True, site=site,
+                     residual=residual if num_convs == 1 else None)
+        meta[key] = {"n": num_convs, "alpha_out": alpha_of(pp, "act_out")}
 
     down_convs = list(net.down_convs)
     up_convs = list(net.up_convs)
     base = net.base_channels
 
-    def apply_fn(_variables, x, train=False, return_logits=False):
-        del _variables, train  # folded weights are closure constants
+    reg_conv("in_block/conv", p["in_block"]["conv"], s["in_block"]["conv"],
+             site="stem")
+    c = base
+    for nconv in down_convs:
+        c *= 2
+        pp, ss = p[f"down_{c}"], s[f"down_{c}"]
+        reg_strided(f"down_{c}/down", pp, "down_conv", "down_bn", "down_act",
+                    ss, transpose=False)
+        reg_res_block(f"down_{c}/res", pp["res"], ss["res"], nconv)
+    for nconv in up_convs:
+        pp, ss = p[f"up_{c}"], s[f"up_{c}"]
+        reg_strided(f"up_{c}/up", pp, "up_conv", "up_bn", "up_act",
+                    ss, transpose=True)
+        reg_res_block(f"up_{c}/res", pp["res"], ss["res"], nconv)
+        c //= 2
+    reg_conv("out_block/conv", p["out_block"]["conv"], s["out_block"]["conv"],
+             site="head")
+    fv["out_block/proj"] = {
+        "w": np.asarray(p["out_block"]["proj"]["kernel"], np.float32),
+        "b": np.asarray(p["out_block"]["proj"]["bias"], np.float32)}
+
+    # ---- phase 2: the traced forward ------------------------------------
+    def run_conv(key, v, x, x_res=None):
+        m = meta[key]
+        kind, alpha, cout = m["act"], m["alpha"], m["cout"]
+        if m["route"] == "pallas":
+            if x_res is not None:
+                return thin_conv3d(x.astype(dtype), v["w"], v["b"], act=kind,
+                                   alpha=alpha, out_dtype=dtype,
+                                   interpret=interpret, residual=act_kind,
+                                   res_alpha=m["res_alpha"])
+            return thin_conv3d(x.astype(dtype), v["w"], v["b"], act=kind,
+                               alpha=alpha, out_dtype=dtype,
+                               interpret=interpret)
+        if m["route"] == "window":
+            out = window_conv3d_pre(x.astype(dtype), v["mid"], v["left"],
+                                    v["right"], v["b"], P=m["P"], cout=cout,
+                                    out_dtype=jnp.float32)
+        elif m["route"] == "packed":
+            out = packed_conv3d_pre(x.astype(dtype), v["wk"], v["b"],
+                                    P=m["P"], cout=cout,
+                                    out_dtype=jnp.float32)
+        else:
+            out = _xla_conv(x, v["w"], v["b"], dtype=dtype)
+        return _act(out, kind, alpha).astype(dtype)
+
+    def run_strided(key, v, x):
+        m = meta[key]
+        if m["transpose"] and use_deconv2x:
+            # k=2/s=2 deconv == pixel-shuffle GEMM. Isolated it beats the
+            # direct conv_transpose lowering, but IN-NET the interleave
+            # transpose breaks fusion with the following concat+res conv:
+            # 235 vs 204 ms/slab-fwd measured — opt-in variant.
+            out = deconv2x(x.astype(dtype), v["w"], v["b"],
+                           out_dtype=jnp.float32)
+        elif m["transpose"]:
+            out = jax.lax.conv_transpose(
+                x.astype(dtype), v["w"].astype(dtype), (2, 2, 2), "VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32)
+            out = out + v["b"].reshape(1, 1, 1, 1, -1).astype(jnp.float32)
+        else:
+            out = _xla_conv(x, v["w"], v["b"], strides=(2, 2, 2),
+                            padding="VALID", dtype=dtype)
+        return _act(out, act_kind, m["alpha"]).astype(dtype)
+
+    def run_res_block(key, fvars, x):
+        m = meta[key]
+        if m["n"] == 1 and meta[f"{key}/conv0"]["route"] == "pallas" \
+                and meta[f"{key}/conv0"]["residual"] is not None:
+            return run_conv(f"{key}/conv0", fvars[f"{key}/conv0"], x, x_res=x)
+        h = x
+        for i in range(m["n"]):
+            h = run_conv(f"{key}/conv{i}", fvars[f"{key}/conv{i}"], h)
+        return _act(x + h, act_kind, m["alpha_out"]).astype(dtype)
+
+    def apply_fn(fvars, x, train=False, return_logits=False):
+        del train
         x = x.astype(dtype)
         c = base
         skips = []
-        x = conv_bn_act(x, p["in_block"]["conv"], s["in_block"]["conv"],
-                        site="stem")
+        x = run_conv("in_block/conv", fvars["in_block/conv"], x)
         skips.append(x)
         n = len(down_convs)
-        for i, nconv in enumerate(down_convs):
+        for i, _ in enumerate(down_convs):
             c *= 2
-            pp, ss = p[f"down_{c}"], s[f"down_{c}"]
-            x = strided_bn_act(x, pp, "down_conv", "down_bn", "down_act", ss)
-            x = res_block(x, pp["res"], ss["res"], nconv)
+            x = run_strided(f"down_{c}/down", fvars[f"down_{c}/down"], x)
+            x = run_res_block(f"down_{c}/res", fvars, x)
             if i + 1 < n:
                 skips.append(x)
-        for nconv in up_convs:
-            pp, ss = p[f"up_{c}"], s[f"up_{c}"]
+        for _ in up_convs:
             skip = skips.pop()
-            x = strided_bn_act(x, pp, "up_conv", "up_bn", "up_act", ss,
-                               transpose=True)
+            x = run_strided(f"up_{c}/up", fvars[f"up_{c}/up"], x)
             x = jnp.concatenate([x, skip.astype(dtype)], axis=-1)
-            x = res_block(x, pp["res"], ss["res"], nconv)
+            x = run_res_block(f"up_{c}/res", fvars, x)
             c //= 2
-        pp, ss = p["out_block"], s["out_block"]
-        x = conv_bn_act(x, pp["conv"], ss["conv"], site="head")
-        logits = _xla_conv(x, pp["proj"]["kernel"], pp["proj"]["bias"])
+        x = run_conv("out_block/conv", fvars["out_block/conv"], x)
+        v = fvars["out_block/proj"]
+        logits = _xla_conv(x, v["w"], v["b"], dtype=dtype)
         if return_logits:
             return logits
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
-    return apply_fn
-
+    return apply_fn, fv

@@ -40,7 +40,13 @@ def pick_p(cin: int, cout: int, target: int = 128) -> int:
 
 
 def pack_kernel(w, P: int):
-    """[3,3,3,Cin,Cout] -> packed [3,3,3,P*Cin,P*Cout] (see module doc)."""
+    """[3,3,3,Cin,Cout] -> packed [3,3,3,P*Cin,P*Cout] (see module doc).
+
+    Works on traced jnp arrays (training path). For concrete weights prefer
+    :func:`pack_kernel_np` — building the packed kernel with numpy at
+    build time keeps the P*3 scatter ops out of the traced program (they
+    bloated the inference HLO and its compile-cache entry otherwise).
+    """
     kd, kh, kw, cin, cout = w.shape
     assert (kd, kh, kw) == (3, 3, 3)
     wk = jnp.zeros((3, 3, 3, P * cin, P * cout), w.dtype)
@@ -52,6 +58,46 @@ def pack_kernel(w, P: int):
             wk = wk.at[:, :, dxq, xv * cin:(xv + 1) * cin,
                        xo * cout:(xo + 1) * cout].set(w[:, :, dx])
     return wk
+
+
+def pack_kernel_np(w: np.ndarray, P: int) -> np.ndarray:
+    """Numpy mirror of :func:`pack_kernel` for concrete (folded) weights."""
+    kd, kh, kw, cin, cout = w.shape
+    assert (kd, kh, kw) == (3, 3, 3)
+    wk = np.zeros((3, 3, 3, P * cin, P * cout), w.dtype)
+    for xo in range(P):
+        for dx in range(3):
+            g = xo + dx - 1
+            wk[:, :, 1 + (g // P), (g % P) * cin:(g % P + 1) * cin,
+               xo * cout:(xo + 1) * cout] = w[:, :, dx]
+    return wk
+
+
+def packed_conv3d_pre(x, wk, bp=None, *, P: int, cout: int,
+                      out_dtype=jnp.bfloat16):
+    """:func:`packed_conv3d` with a PREBUILT packed kernel ``wk``
+    [3,3,3,P*Cin,P*Cout] (and pre-tiled bias ``bp`` [P*Cout]). Used by the
+    fused inference forward, which builds kernels once with numpy and passes
+    them as jit arguments — keeping the big packed kernels out of the traced
+    program's constants (a 190 MB HLO otherwise: slow hash, dead compile
+    cache, minutes of first-case latency over the remote-compile relay)."""
+    B, D, H, W, cin_p = x.shape
+    cdtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+    Wp = -(-W // P) * P
+    xq = x.astype(cdtype)
+    if Wp != W:
+        xq = jnp.pad(xq, ((0, 0),) * 3 + ((0, Wp - W), (0, 0)))
+    xp = xq.reshape(B, D, H, Wp // P, P * cin_p)        # free reshape
+    out = jax.lax.conv_general_dilated(
+        xp, wk.astype(cdtype), (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32)             # [B,D,H,Wp/P,P*cout]
+    if bp is not None:
+        out = out + bp.astype(jnp.float32).reshape(1, 1, 1, 1, -1)
+    out = out.reshape(B, D, H, Wp, cout)
+    if Wp != W:
+        out = out[:, :, :, :W]
+    return out.astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("P", "out_dtype"))
@@ -78,24 +124,9 @@ def packed_conv3d(x, w, b=None, P: int | None = None, out_dtype=jnp.bfloat16):
             out = out + b.reshape(1, 1, 1, 1, -1).astype(jnp.float32)
         return out.astype(out_dtype)
 
-    Wp = -(-W // P) * P
-    xq = x.astype(cdtype)
-    if Wp != W:
-        xq = jnp.pad(xq, ((0, 0),) * 3 + ((0, Wp - W), (0, 0)))
-    xp = xq.reshape(B, D, H, Wp // P, P * cin)          # free reshape
-
     wk = pack_kernel(w.astype(cdtype), P)
-    out = jax.lax.conv_general_dilated(
-        xp, wk, (1, 1, 1), "SAME",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32)             # [B,D,H,Wp/P,P*cout]
-    if b is not None:
-        bp = jnp.tile(b.astype(jnp.float32), (P,))
-        out = out + bp.reshape(1, 1, 1, 1, -1)
-    out = out.reshape(B, D, H, Wp, cout)
-    if Wp != W:
-        out = out[:, :, :, :W]
-    return out.astype(out_dtype)
+    bp = None if b is None else jnp.tile(b.astype(jnp.float32), (P,))
+    return packed_conv3d_pre(x, wk, bp, P=P, cout=cout, out_dtype=out_dtype)
 
 
 def pick_window_p(cout: int, target: int = 128, cap: int = 32) -> int:
@@ -138,6 +169,24 @@ def window_kernels(w, P: int):
     return mid, left, right
 
 
+def window_kernels_np(w: np.ndarray, P: int):
+    """Numpy mirror of :func:`window_kernels` for concrete (folded) weights."""
+    kd, kh, kw, cin, cout = w.shape
+    assert (kd, kh, kw) == (3, 3, 3)
+    mid = np.zeros((3, 3, 1, P * cin, P * cout), w.dtype)
+    for xo in range(P):
+        for dx in range(3):
+            j = xo + dx
+            if 1 <= j <= P:
+                mid[:, :, 0, (j - 1) * cin:j * cin,
+                    xo * cout:(xo + 1) * cout] = w[:, :, dx]
+    left = np.zeros((3, 3, 1, cin, P * cout), w.dtype)
+    left[:, :, 0, :, :cout] = w[:, :, 0]
+    right = np.zeros((3, 3, 1, cin, P * cout), w.dtype)
+    right[:, :, 0, :, (P - 1) * cout:] = w[:, :, 2]
+    return mid, left, right
+
+
 @functools.partial(jax.jit, static_argnames=("P", "out_dtype"))
 def window_conv3d(x, w, b=None, P: int | None = None, out_dtype=jnp.bfloat16):
     """Stride-1 SAME 3x3x3 conv via overlapping x-window unfolding.
@@ -163,6 +212,19 @@ def window_conv3d(x, w, b=None, P: int | None = None, out_dtype=jnp.bfloat16):
     if P <= 1:
         return packed_conv3d(x, w, b, P=1, out_dtype=out_dtype)
 
+    mid, wl, wr = window_kernels(w.astype(cdtype), P)
+    bp = None if b is None else jnp.tile(b.astype(jnp.float32), (P,))
+    return window_conv3d_pre(x, mid, wl, wr, bp, P=P, cout=cout,
+                             out_dtype=out_dtype)
+
+
+def window_conv3d_pre(x, mid, wl, wr, bp=None, *, P: int, cout: int,
+                      out_dtype=jnp.bfloat16):
+    """:func:`window_conv3d` with PREBUILT (mid, left, right) kernels and
+    pre-tiled bias — see :func:`packed_conv3d_pre` for why the fused forward
+    passes kernels as arguments instead of closure constants."""
+    B, D, H, W, cin = x.shape
+    cdtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
     cols = -(-W // P)
     Wp = cols * P
     xq = x.astype(cdtype)
@@ -178,20 +240,19 @@ def window_conv3d(x, w, b=None, P: int | None = None, out_dtype=jnp.bfloat16):
     l = jnp.pad(xp[:, :, :, :-1, (P - 1) * cin:], pad5 + ((1, 0), (0, 0)))
     r = jnp.pad(xp[:, :, :, 1:, :cin], pad5 + ((0, 1), (0, 0)))
 
-    mid, wl, wr = window_kernels(w.astype(cdtype), P)
     zy_same = ((1, 1), (1, 1), (0, 0))
     dn = ("NDHWC", "DHWIO", "NDHWC")
     out = jax.lax.conv_general_dilated(
-        xp, mid, (1, 1, 1), zy_same, dimension_numbers=dn,
+        xp, mid.astype(cdtype), (1, 1, 1), zy_same, dimension_numbers=dn,
         preferred_element_type=jnp.float32)       # [B,D,H,cols,P*cout]
     out = out + jax.lax.conv_general_dilated(
-        l, wl, (1, 1, 1), zy_same, dimension_numbers=dn,
+        l, wl.astype(cdtype), (1, 1, 1), zy_same, dimension_numbers=dn,
         preferred_element_type=jnp.float32)
     out = out + jax.lax.conv_general_dilated(
-        r, wr, (1, 1, 1), zy_same, dimension_numbers=dn,
+        r, wr.astype(cdtype), (1, 1, 1), zy_same, dimension_numbers=dn,
         preferred_element_type=jnp.float32)
-    if b is not None:
-        out = out + jnp.tile(b.astype(jnp.float32), (P,)).reshape(1, 1, 1, 1, -1)
+    if bp is not None:
+        out = out + bp.astype(jnp.float32).reshape(1, 1, 1, 1, -1)
     out = out.reshape(B, D, H, Wp, cout)
     if Wp != W:
         out = out[:, :, :, :W]

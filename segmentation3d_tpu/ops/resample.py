@@ -66,18 +66,22 @@ def _interp_matrix(out_n: int, in_n: int, a, b, interp: str, dtype=jnp.float32):
     return jnp.where(valid, w, 0.0).astype(dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("out_shape", "interp", "fill"))
-def separable_resample(data, coeffs, out_shape, interp=LINEAR, fill=0.0):
-    """Resample along each of the three leading axes independently.
+def _separable_core(data, coeffs, out_shape, interp=LINEAR, fill=0.0,
+                    out_dtype=None):
+    """Un-jitted body of :func:`separable_resample` — call this from INSIDE
+    an enclosing jit (the fused preprocess/postprocess programs in
+    ``core.seg_infer``) so the whole per-case pipeline is ONE program: on the
+    remote-compile relay every distinct program costs seconds-to-minutes of
+    first-call latency, so program COUNT, not just program cost, matters.
 
-    ``coeffs``: array [3, 2] of per-axis (a, b) with src_coord = a*out_idx + b,
-    axes ordered (z, y, x).  ``data``: [D,H,W] or [D,H,W,C].
-    """
+    ``out_dtype``: result dtype (default: ``data``'s dtype — note an int16
+    input then yields a rounded int16 result; pass ``jnp.float32`` to
+    resample stored-dtype uploads into the model's input domain)."""
     squeeze = data.ndim == 3
     if squeeze:
         data = data[..., None]
     in_shape = data.shape[:3]
-    orig_dtype = data.dtype
+    orig_dtype = out_dtype or data.dtype
     x = data.astype(jnp.float32)
     ws = [
         _interp_matrix(out_shape[ax], in_shape[ax], coeffs[ax, 0], coeffs[ax, 1], interp)
@@ -104,17 +108,26 @@ def separable_resample(data, coeffs, out_shape, interp=LINEAR, fill=0.0):
     return x[..., 0] if squeeze else x
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("out_shape", "interp", "fill", "out_dtype"))
+def separable_resample(data, coeffs, out_shape, interp=LINEAR, fill=0.0,
+                       out_dtype=None):
+    """Resample along each of the three leading axes independently.
+
+    ``coeffs``: array [3, 2] of per-axis (a, b) with src_coord = a*out_idx + b,
+    axes ordered (z, y, x).  ``data``: [D,H,W] or [D,H,W,C].
+    """
+    return _separable_core(data, coeffs, out_shape, interp, fill, out_dtype)
+
+
 # ---------------------------------------------------------------------------
 # General path: chunked trilinear / NN gather
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("out_shape", "interp", "fill", "z_chunk"))
-def affine_gather_resample(data, matrix, out_shape, interp=LINEAR, fill=0.0, z_chunk=8):
-    """Resample with a full 3x4 affine (dst xyz index -> src xyz index).
-
-    ``matrix``: [3, 4]; ``data``: [D,H,W] or [D,H,W,C]; output chunked along z
-    to bound the coordinate-buffer footprint.
-    """
+def _affine_core(data, matrix, out_shape, interp=LINEAR, fill=0.0, z_chunk=8,
+                 out_dtype=None):
+    """Un-jitted body of :func:`affine_gather_resample` (see
+    :func:`_separable_core` for why the split exists)."""
     squeeze = data.ndim == 3
     if squeeze:
         data = data[..., None]
@@ -165,24 +178,35 @@ def affine_gather_resample(data, matrix, out_shape, interp=LINEAR, fill=0.0, z_c
 
     chunks = jax.lax.map(one_chunk, jnp.arange(nchunk))
     out = chunks.reshape(pad_z, dy, dx, data.shape[3])[:dz]
-    if jnp.issubdtype(data.dtype, jnp.integer):
+    res_dtype = out_dtype or data.dtype
+    if jnp.issubdtype(res_dtype, jnp.integer):
         out = jnp.rint(out)
-    out = out.astype(data.dtype)
+    out = out.astype(res_dtype)
     return out[..., 0] if squeeze else out
+
+
+@functools.partial(jax.jit, static_argnames=("out_shape", "interp", "fill",
+                                             "z_chunk", "out_dtype"))
+def affine_gather_resample(data, matrix, out_shape, interp=LINEAR, fill=0.0,
+                           z_chunk=8, out_dtype=None):
+    """Resample with a full 3x4 affine (dst xyz index -> src xyz index).
+
+    ``matrix``: [3, 4]; ``data``: [D,H,W] or [D,H,W,C]; output chunked along z
+    to bound the coordinate-buffer footprint.
+    """
+    return _affine_core(data, matrix, out_shape, interp, fill, z_chunk,
+                        out_dtype)
 
 
 # ---------------------------------------------------------------------------
 # Frame-level wrappers (host computes the affine, device resamples)
 # ---------------------------------------------------------------------------
 
-def resample_to_frame(data, src_frame: Frame, dst_frame: Frame, dst_size_xyz,
-                      interp: str = LINEAR, fill: float = 0.0):
-    """Resample ``data`` (living in ``src_frame``) onto a target frame/grid.
-
-    Device-side equivalent of the reference's ``image_tools.resample``
-    (``utils/image_tools.py`` ≈L150-180). Returns a device array shaped
-    ``[nz, ny, nx(, C)]`` for ``dst_size_xyz = (nx, ny, nz)``.
-    """
+def resample_plan(src_frame: Frame, dst_frame: Frame, dst_size_xyz):
+    """Host-side planning for a frame-to-frame resample: returns
+    ``(kind, coeffs, out_shape)`` with ``kind`` in {"sep", "aff"} (static)
+    and ``coeffs`` a numpy array to pass as a device ARGUMENT — so one
+    compiled program serves every case of the same shape."""
     m = _compose_dst_to_src(src_frame, dst_frame)
     nx, ny, nz = (int(v) for v in dst_size_xyz)
     out_shape = (nz, ny, nx)
@@ -193,10 +217,38 @@ def resample_to_frame(data, src_frame: Frame, dst_frame: Frame, dst_size_xyz,
             [m[1, 1], m[1, 3]],  # y
             [m[0, 0], m[0, 3]],  # x
         ], np.float32)
-        return separable_resample(jnp.asarray(data), jnp.asarray(coeffs), out_shape,
-                                  interp=interp, fill=fill)
-    return affine_gather_resample(jnp.asarray(data), jnp.asarray(m[:3], jnp.float32),
-                                  out_shape, interp=interp, fill=fill)
+        return "sep", coeffs, out_shape
+    return "aff", np.asarray(m[:3], np.float32), out_shape
+
+
+def resample_exec(data, kind: str, coeffs, out_shape, interp: str = LINEAR,
+                  fill: float = 0.0, out_dtype=None):
+    """Execute a :func:`resample_plan`. Trace-inlinable (no inner jit): call
+    it inside an enclosing jitted program to fuse resampling with whatever
+    surrounds it (normalization, mask packing, ...)."""
+    if kind == "sep":
+        return _separable_core(jnp.asarray(data), jnp.asarray(coeffs),
+                               out_shape, interp, fill, out_dtype)
+    return _affine_core(jnp.asarray(data), jnp.asarray(coeffs), out_shape,
+                        interp, fill, out_dtype=out_dtype)
+
+
+def resample_to_frame(data, src_frame: Frame, dst_frame: Frame, dst_size_xyz,
+                      interp: str = LINEAR, fill: float = 0.0, out_dtype=None):
+    """Resample ``data`` (living in ``src_frame``) onto a target frame/grid.
+
+    Device-side equivalent of the reference's ``image_tools.resample``
+    (``utils/image_tools.py`` ≈L150-180). Returns a device array shaped
+    ``[nz, ny, nx(, C)]`` for ``dst_size_xyz = (nx, ny, nz)``.
+    """
+    kind, coeffs, out_shape = resample_plan(src_frame, dst_frame, dst_size_xyz)
+    if kind == "sep":
+        return separable_resample(jnp.asarray(data), jnp.asarray(coeffs),
+                                  out_shape, interp=interp, fill=fill,
+                                  out_dtype=out_dtype)
+    return affine_gather_resample(jnp.asarray(data), jnp.asarray(coeffs),
+                                  out_shape, interp=interp, fill=fill,
+                                  out_dtype=out_dtype)
 
 
 def resample_spacing(data, frame: Frame, new_spacing_xyz, pad_to_multiple: int = 1,

@@ -82,9 +82,9 @@ def test_fused_forward_matches_net():
     x = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 1)), jnp.float32)
     variables = net.init(jax.random.PRNGKey(0), x, train=False)
     ref = net.apply(variables, x, train=False)
-    fused = build_fused_forward(net, variables, dtype=jnp.float32,
-                                use_pallas=True, interpret=True)
-    out = fused(variables, x)
+    fused, fv = build_fused_forward(net, variables, dtype=jnp.float32,
+                                    use_pallas=True, interpret=True)
+    out = fused(fv, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.02)
     # argmax agreement (what inference actually uses)
     agree = np.mean(np.argmax(np.asarray(out), -1) == np.argmax(np.asarray(ref), -1))
