@@ -22,6 +22,7 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--cases", type=int, default=4)
+    ap.add_argument("--conv_backend", default="direct", choices=["direct", "window"])
     args = ap.parse_args()
 
     import jax
@@ -64,7 +65,7 @@ def main():
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     net = SegmentationNet(in_channels=1, out_channels=args.classes, dtype=dtype,
-                          remat=True)
+                          remat=True, conv_backend=args.conv_backend)
     x0 = jnp.zeros((1, args.crop, args.crop, args.crop, 1), jnp.float32)
     variables = net.init(jax.random.PRNGKey(0), x0, train=False)
     optimizer = optax.adam(1e-4)
@@ -90,7 +91,8 @@ def main():
     pps = args.batch / dt
     print(json.dumps({
         "metric": f"train pipeline throughput ({args.crop}^3 crops, "
-                  f"{args.classes}-class, batch {args.batch}, {args.dtype})",
+                  f"{args.classes}-class, batch {args.batch}, {args.dtype}, "
+                  f"{args.conv_backend} convs)",
         "value": round(pps, 2), "unit": "patches/sec",
         "sec_per_step": round(dt, 4),
     }))

@@ -73,8 +73,26 @@ def pack_kernel_np(w: np.ndarray, P: int) -> np.ndarray:
     return wk
 
 
+def _conv_f32(x, w, strides, padding, dn, grad_safe):
+    """conv with f32 accumulation output. ``grad_safe=True`` (the traced
+    training path) keeps the conv's OUTPUT dtype equal to its input dtype
+    and upcasts after: mixing bf16 operands with
+    ``preferred_element_type=f32`` breaks reverse-mode AD (the transpose
+    rule feeds the f32 cotangent back into a conv against the bf16 operand
+    -> "requires arguments to have the same dtypes"). The MXU accumulates
+    bf16 GEMMs in f32 internally either way; grad_safe only rounds the
+    result once more at the conv boundary."""
+    if grad_safe and x.dtype != jnp.float32:
+        out = jax.lax.conv_general_dilated(
+            x, w, strides, padding, dimension_numbers=dn)
+        return out.astype(jnp.float32)
+    return jax.lax.conv_general_dilated(
+        x, w, strides, padding, dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+
+
 def packed_conv3d_pre(x, wk, bp=None, *, P: int, cout: int,
-                      out_dtype=jnp.bfloat16):
+                      out_dtype=jnp.bfloat16, grad_safe: bool = False):
     """:func:`packed_conv3d` with a PREBUILT packed kernel ``wk``
     [3,3,3,P*Cin,P*Cout] (and pre-tiled bias ``bp`` [P*Cout]). Used by the
     fused inference forward, which builds kernels once with numpy and passes
@@ -88,10 +106,8 @@ def packed_conv3d_pre(x, wk, bp=None, *, P: int, cout: int,
     if Wp != W:
         xq = jnp.pad(xq, ((0, 0),) * 3 + ((0, Wp - W), (0, 0)))
     xp = xq.reshape(B, D, H, Wp // P, P * cin_p)        # free reshape
-    out = jax.lax.conv_general_dilated(
-        xp, wk.astype(cdtype), (1, 1, 1), "SAME",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32)             # [B,D,H,Wp/P,P*cout]
+    out = _conv_f32(xp, wk.astype(cdtype), (1, 1, 1), "SAME",
+                    ("NDHWC", "DHWIO", "NDHWC"), grad_safe)
     if bp is not None:
         out = out + bp.astype(jnp.float32).reshape(1, 1, 1, 1, -1)
     out = out.reshape(B, D, H, Wp, cout)
@@ -116,17 +132,16 @@ def packed_conv3d(x, w, b=None, P: int | None = None, out_dtype=jnp.bfloat16):
     if P is None:
         P = pick_p(cin, cout)
     if P <= 1:
-        out = jax.lax.conv_general_dilated(
-            x.astype(cdtype), w.astype(cdtype), (1, 1, 1), "SAME",
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32)
+        out = _conv_f32(x.astype(cdtype), w.astype(cdtype), (1, 1, 1), "SAME",
+                        ("NDHWC", "DHWIO", "NDHWC"), grad_safe=True)
         if b is not None:
             out = out + b.reshape(1, 1, 1, 1, -1).astype(jnp.float32)
         return out.astype(out_dtype)
 
     wk = pack_kernel(w.astype(cdtype), P)
     bp = None if b is None else jnp.tile(b.astype(jnp.float32), (P,))
-    return packed_conv3d_pre(x, wk, bp, P=P, cout=cout, out_dtype=out_dtype)
+    return packed_conv3d_pre(x, wk, bp, P=P, cout=cout, out_dtype=out_dtype,
+                             grad_safe=True)
 
 
 def pick_window_p(cout: int, target: int = 128, cap: int = 32) -> int:
@@ -215,11 +230,11 @@ def window_conv3d(x, w, b=None, P: int | None = None, out_dtype=jnp.bfloat16):
     mid, wl, wr = window_kernels(w.astype(cdtype), P)
     bp = None if b is None else jnp.tile(b.astype(jnp.float32), (P,))
     return window_conv3d_pre(x, mid, wl, wr, bp, P=P, cout=cout,
-                             out_dtype=out_dtype)
+                             out_dtype=out_dtype, grad_safe=True)
 
 
 def window_conv3d_pre(x, mid, wl, wr, bp=None, *, P: int, cout: int,
-                      out_dtype=jnp.bfloat16):
+                      out_dtype=jnp.bfloat16, grad_safe: bool = False):
     """:func:`window_conv3d` with PREBUILT (mid, left, right) kernels and
     pre-tiled bias — see :func:`packed_conv3d_pre` for why the fused forward
     passes kernels as arguments instead of closure constants."""
@@ -242,15 +257,12 @@ def window_conv3d_pre(x, mid, wl, wr, bp=None, *, P: int, cout: int,
 
     zy_same = ((1, 1), (1, 1), (0, 0))
     dn = ("NDHWC", "DHWIO", "NDHWC")
-    out = jax.lax.conv_general_dilated(
-        xp, mid.astype(cdtype), (1, 1, 1), zy_same, dimension_numbers=dn,
-        preferred_element_type=jnp.float32)       # [B,D,H,cols,P*cout]
-    out = out + jax.lax.conv_general_dilated(
-        l, wl.astype(cdtype), (1, 1, 1), zy_same, dimension_numbers=dn,
-        preferred_element_type=jnp.float32)
-    out = out + jax.lax.conv_general_dilated(
-        r, wr.astype(cdtype), (1, 1, 1), zy_same, dimension_numbers=dn,
-        preferred_element_type=jnp.float32)
+    out = _conv_f32(xp, mid.astype(cdtype), (1, 1, 1), zy_same, dn,
+                    grad_safe)                    # [B,D,H,cols,P*cout]
+    out = out + _conv_f32(l, wl.astype(cdtype), (1, 1, 1), zy_same, dn,
+                          grad_safe)
+    out = out + _conv_f32(r, wr.astype(cdtype), (1, 1, 1), zy_same, dn,
+                          grad_safe)
     if bp is not None:
         out = out + bp.astype(jnp.float32).reshape(1, 1, 1, 1, -1)
     out = out.reshape(B, D, H, Wp, cout)
