@@ -38,8 +38,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
-    ap.add_argument("--fused", default="1", choices=["0", "1"],
-                    help="BN-folded forward with Pallas thin-channel convs")
+    ap.add_argument("--fused", default="2", choices=["0", "1", "2"],
+                    help="0=flax forward, 1=BN-folded window-conv forward, "
+                         "2=packed-domain forward (default)")
     args = ap.parse_args()
 
     import jax
@@ -61,7 +62,10 @@ def main():
     x0 = jnp.zeros((1, 32, 32, 32, 1), jnp.float32)
     variables = net.init(jax.random.PRNGKey(0), x0, train=False)
     apply_fn = apply_vars = None
-    if args.fused == "1":
+    if args.fused == "2":
+        from segmentation3d_tpu.models.packed_vnet import build_packed_forward
+        apply_fn, apply_vars = build_packed_forward(net, variables, dtype=dtype)
+    elif args.fused == "1":
         from segmentation3d_tpu.models.fused_vnet import build_fused_forward
         apply_fn, apply_vars = build_fused_forward(net, variables, dtype=dtype,
                                                    wide_xy=bool(args.slab))

@@ -53,11 +53,16 @@ def main():
         "win_res": dict(window_sites=frozenset({"res"}), **NOP),
         "win_3216": dict(window_sites=W, window_couts=(32, 16), **NOP),
         "win_32": dict(window_sites=W, window_couts=(32,), **NOP),
+        "win_all_deconv": dict(window_sites=W, use_deconv2x=True, **NOP),
     }
+    from segmentation3d_tpu.models.packed_vnet import build_packed_forward
     for name in args.variants.split(","):
-        kw = VARIANTS[name]
         try:
-            afn, fv = build_fused_forward(net, variables, dtype=dtype, **kw)
+            if name == "packed_domain":
+                afn, fv = build_packed_forward(net, variables, dtype=dtype)
+            else:
+                afn, fv = build_fused_forward(net, variables, dtype=dtype,
+                                              **VARIANTS[name])
             fn = jax.jit(afn)
             fv = jax.device_put(fv)
             out = fn(fv, x)

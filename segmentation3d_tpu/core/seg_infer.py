@@ -421,18 +421,36 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
         m = make_mesh(num_devices)
         if m.devices.size > 1:
             mesh = m
-    apply_fn = apply_vars = None
     if fused is None:
         import jax
         fused = (dtype == jnp.bfloat16 and jax.default_backend() != "cpu")
-    if fused:
-        try:
-            from segmentation3d_tpu.models.fused_vnet import build_fused_forward
-            apply_fn, apply_vars = build_fused_forward(
-                model.net, model.variables, dtype=dtype,
-                wide_xy=(partition_type == SLAB))
-        except (NotImplementedError, KeyError):
-            apply_fn = apply_vars = None
+    _builders = {}
+
+    def fused_forward_for(patch):
+        """(apply_fn, apply_vars) for a patch shape: the packed-domain
+        forward (every op in channels-minor [.., cols, P*C] form — 38.8 ->
+        54.1 volumes/min/chip on the 512^3 headline) when the patch width
+        allows it, else the per-site window-conv forward; (None, None) when
+        fused is off or the architecture is unsupported."""
+        if not fused:
+            return None, None
+        key = "packed" if patch[2] % 32 == 0 else "window"
+        if key not in _builders:
+            try:
+                if key == "packed":
+                    from segmentation3d_tpu.models.packed_vnet import (
+                        build_packed_forward)
+                    _builders[key] = build_packed_forward(
+                        model.net, model.variables, dtype=dtype)
+                else:
+                    from segmentation3d_tpu.models.fused_vnet import (
+                        build_fused_forward)
+                    _builders[key] = build_fused_forward(
+                        model.net, model.variables, dtype=dtype,
+                        wide_xy=(partition_type == SLAB))
+            except (NotImplementedError, KeyError, AssertionError):
+                _builders[key] = (None, None)
+        return _builders[key]
     cases = find_cases(input_path)
     os.makedirs(output_dir, exist_ok=True)
     if not cases:
@@ -499,6 +517,7 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
 
         key = (patch, stride)
         if key not in inferers:
+            apply_fn, apply_vars = fused_forward_for(patch)
             if spatial_shard:
                 if mesh is None:
                     raise ValueError("spatial_shard requires num_devices > 1")

@@ -1,0 +1,260 @@
+"""Packed-domain fused V-Net inference forward.
+
+``models/fused_vnet.py`` routes individual thin convs through the
+window-GEMM lowering, but every surrounding op (stride-2 down convs,
+deconvs, concats, residual adds) still sees the UNPACKED [.., W, C] form
+with thin C — so XLA assigns those ops H-minor layouts and inserts
+full-volume layout copies at every boundary. Profiling one 512^3 slab
+volume (jax.profiler trace, TPU v5e): ~350 ms/volume of pure ``copy``
+"data formatting" ops + a 29 ms/slab pad fusion for the skip concat.
+
+This module keeps the ENTIRE forward in the packed channels-minor form
+``[B, D, H, cols, P*C]`` with ``P*C`` pinned near 128 lanes at every
+level, so no op ever prefers an H-minor layout:
+
+- stride-1 3^3 convs: window-GEMM (``ops.packed_conv.window_conv_packed``);
+- k=2/s=2 down convs: ONE packed conv, stride (2,2,1) over (z,y,cols) —
+  both taps of an output live in the same packed column, no halos
+  (``down_kernel_np``);
+- k=2/s=2 deconvs: a pure GEMM — the x-interleave is a free channel-block
+  reinterpretation in packed form; only the z/y unshuffle (contiguous
+  128-lane block transpose) remains (``deconv_gemm_np``);
+- skip concats: packed-channel interleave (one bandwidth pass);
+- head 3^3 conv: repacked (free reshape) to P=32; 1x1 proj: block-diagonal
+  GEMM; softmax over per-voxel class pairs in packed channels.
+
+Every P-change between levels is a FREE reshape: the packed layout's
+linear memory order is exactly the unpacked (x, c) order for any P.
+
+Same two-phase structure and ``(apply_fn, fused_vars)`` interface as
+``build_fused_forward`` (folded numpy kernels passed as jit arguments).
+Constraints: W % 32 == 0, D/H/W % max_stride == 0, standard
+(non-bottleneck) blocks — the caller falls back to ``build_fused_forward``
+otherwise. Forward-only (inference); cites reference
+``segmentation3d/network/vnet.py:SegmentationNet.forward`` (SURVEY §3.3)
+for the computed function.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from segmentation3d_tpu.models.vnet import SegmentationNet
+from segmentation3d_tpu.ops.pallas_conv import fold_bn
+from segmentation3d_tpu.ops.packed_conv import (
+    window_kernels_np, window_conv_packed, down_kernel_np, down_conv_packed,
+    deconv_gemm_np, deconv_gemm_apply, deconv_unshuffle, concat_packed,
+    interleave_perm_np, pick_window_p, _conv_f32)
+
+
+def _p_for(c: int) -> int:
+    """Canonical packing: largest power-of-2 P with P*C <= 128 (>= 1)."""
+    p = 1
+    while 2 * p * c <= 128:
+        p *= 2
+    return p
+
+
+def _act(x, kind, alpha=0.25):
+    if kind == "relu":
+        return jax.nn.relu(x)
+    if kind == "prelu":
+        return jnp.where(x >= 0, x, alpha * x)
+    if kind == "none":
+        return x
+    raise ValueError(kind)
+
+
+def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16):
+    """Returns ``(apply_fn, fused_vars)``; ``apply_fn(fused_vars, x)`` ==
+    ``net.apply(variables, x, train=False)`` within bf16 tolerance."""
+    if net.bottleneck:
+        raise NotImplementedError("packed forward supports the standard "
+                                  "(non-bottleneck) V-Net blocks")
+    p = variables["params"]
+    s = variables["batch_stats"]
+    act_kind = net.act
+    nc = net.out_channels
+
+    fv = {}    # flat key -> numpy arrays (jit-argument pytree)
+    meta = {}  # flat key -> static info
+
+    def folded_np(pp, ss, conv="conv", bn="bn"):
+        w, b = fold_bn(pp[conv]["kernel"], pp[conv].get("bias"),
+                       pp[bn]["scale"], pp[bn]["bias"],
+                       ss[bn]["mean"], ss[bn]["var"])
+        return np.asarray(w, np.float32), np.asarray(b, np.float32)
+
+    def alpha_of(pp, name):
+        if act_kind == "prelu" and name in pp:
+            return float(jnp.reshape(pp[name]["alpha"], ())[...])
+        return 0.25
+
+    # ---- phase 1: fold + pack every site --------------------------------
+    def reg_win(key, pp, ss, P, cin):
+        """Stride-1 3^3 conv at packing P (window kernels; P=1 -> direct)."""
+        w, b = folded_np(pp, ss)
+        cout = int(w.shape[-1])
+        m = {"P": P, "cin": cin, "cout": cout, "alpha": alpha_of(pp, "act")}
+        if P > 1:
+            mid, wl, wr = window_kernels_np(w, P)
+            fv[key] = {"mid": mid, "left": wl, "right": wr,
+                       "b": np.tile(b, P)}
+            m["route"] = "window"
+        else:
+            fv[key] = {"w": w, "b": b}
+            m["route"] = "direct"
+        meta[key] = m
+
+    def reg_res(key, pp, ss, num_convs, P, cin):
+        for i in range(num_convs):
+            reg_win(f"{key}/conv{i}", pp[f"conv{i}"], ss[f"conv{i}"],
+                    P, cin if i == 0 else meta[f"{key}/conv0"]["cout"])
+        meta[key] = {"n": num_convs, "alpha_out": alpha_of(pp, "act_out")}
+
+    base = net.base_channels
+    down_convs = list(net.down_convs)
+    up_convs = list(net.up_convs)
+
+    # stem
+    P0 = _p_for(base)                       # 8 for base 16
+    reg_win("in_block/conv", p["in_block"]["conv"], s["in_block"]["conv"],
+            P0, net.in_channels)
+    # encoder
+    c, P = base, P0
+    enc = []                                # (channels, P) per skip level
+    for i, nconv in enumerate(down_convs):
+        enc.append((c, P))
+        c *= 2
+        pp, ss = p[f"down_{c}"], s[f"down_{c}"]
+        w, b = folded_np(pp, ss, "down_conv", "down_bn")
+        key = f"down_{c}/down"
+        if P > 1:
+            fv[key] = {"k": down_kernel_np(w, P), "b": np.tile(b, P // 2)}
+            meta[key] = {"route": "packed", "P": P, "cout": c,
+                         "alpha": alpha_of(pp, "down_act")}
+        else:
+            fv[key] = {"w": w, "b": b}
+            meta[key] = {"route": "direct", "P": 1, "cout": c,
+                         "alpha": alpha_of(pp, "down_act")}
+        P = max(P // 2, 1)
+        reg_res(f"down_{c}/res", pp["res"], ss["res"], nconv, P, c)
+    # decoder
+    for nconv in up_convs:
+        pp, ss = p[f"up_{c}"], s[f"up_{c}"]
+        up = c // 2
+        w, b = folded_np(pp, ss, "up_conv", "up_bn")   # [2,2,2, c_in, up]
+        key = f"up_{c}/up"
+        skip_c, skip_P = enc.pop()
+        fv[key] = {"k": deconv_gemm_np(w, P), "b": b}
+        if skip_P > 1:
+            fv[key]["perm"] = interleave_perm_np(skip_P, up, skip_c)
+        meta[key] = {"P": P, "P_out": 2 * P, "cout": up,
+                     "alpha": alpha_of(pp, "up_act"),
+                     "skip_c": skip_c, "skip_P": skip_P}
+        P = skip_P  # after concat the level runs at the skip's packing
+        reg_res(f"up_{c}/res", pp["res"], ss["res"], nconv, P, c)
+        c //= 2
+    # head: repack to the window head packing
+    Ph = pick_window_p(nc)
+    reg_win("out_block/conv", p["out_block"]["conv"], s["out_block"]["conv"],
+            Ph, 2 * base)
+    # 1x1 proj as a block-diagonal GEMM over packed channels
+    wproj = np.asarray(p["out_block"]["proj"]["kernel"], np.float32)  # [1,1,1,nc,nc]
+    bproj = np.asarray(p["out_block"]["proj"]["bias"], np.float32)
+    bd = np.zeros((1, 1, 1, Ph * nc, Ph * nc), np.float32)
+    for xo in range(Ph):
+        bd[0, 0, 0, xo * nc:(xo + 1) * nc, xo * nc:(xo + 1) * nc] = \
+            wproj[0, 0, 0]
+    fv["out_block/proj"] = {"k": bd, "b": np.tile(bproj, Ph)}
+    meta["out_block"] = {"Ph": Ph}
+
+    # ---- phase 2: the traced forward ------------------------------------
+    def run_win(key, v, xp):
+        m = meta[key]
+        if m["route"] == "window":
+            out = window_conv_packed(xp, v["mid"], v["left"], v["right"],
+                                     v["b"], P=m["P"], cin=m["cin"])
+        else:  # P == 1: plain SAME conv on the (identical) unpacked view
+            out = _conv_f32(xp.astype(dtype), v["w"].astype(dtype),
+                            (1, 1, 1), "SAME", ("NDHWC", "DHWIO", "NDHWC"),
+                            False)
+            out = out + v["b"].astype(jnp.float32).reshape(1, 1, 1, 1, -1)
+        return _act(out, act_kind, m["alpha"]).astype(dtype)
+
+    def run_res(key, fvars, xp):
+        m = meta[key]
+        h = xp
+        for i in range(m["n"]):
+            h = run_win(f"{key}/conv{i}", fvars[f"{key}/conv{i}"], h)
+        return _act(xp + h, act_kind, m["alpha_out"]).astype(dtype)
+
+    def repack(x, P_from, P_to):
+        """Free reshape between packings (same linear memory order)."""
+        if P_from == P_to:
+            return x
+        B, D, H, cols, ch = x.shape
+        c = ch // P_from
+        W = cols * P_from
+        return x.reshape(B, D, H, W // P_to, P_to * c)
+
+    def apply_fn(fvars, x, train=False, return_logits=False):
+        del train
+        B, D, H, W, _ = x.shape
+        assert W % 32 == 0, "packed forward requires W % 32 == 0"
+        x = x.astype(dtype)
+        xp = x.reshape(B, D, H, W // P0, P0 * net.in_channels)
+        xp = run_win("in_block/conv", fvars["in_block/conv"], xp)
+        c, P = base, P0
+        skips = []
+        for i, _ in enumerate(down_convs):
+            skips.append((xp, c, P))   # stem out + first n-1 res outputs
+            c *= 2
+            key = f"down_{c}/down"
+            m, v = meta[key], fvars[key]
+            if m["route"] == "packed":
+                out = down_conv_packed(xp, v["k"], v["b"])
+            else:
+                out = _conv_f32(xp.astype(dtype), v["w"].astype(dtype),
+                                (2, 2, 2), ((0, 0), (0, 0), (0, 0)),
+                                ("NDHWC", "DHWIO", "NDHWC"), False)
+                out = out + v["b"].astype(jnp.float32).reshape(1, 1, 1, 1, -1)
+            xp = _act(out, act_kind, m["alpha"]).astype(dtype)
+            P = max(P // 2, 1)
+            xp = run_res(f"down_{c}/res", fvars, xp)
+        for _ in up_convs:
+            key = f"up_{c}/up"
+            m, v = meta[key], fvars[key]
+            skip, skip_c, skip_P = skips.pop()
+            # GEMM -> act+bf16 on the folded form -> z/y unshuffle (the
+            # transpose then moves half the bytes)
+            y = deconv_gemm_apply(xp, v["k"], v["b"], cout=m["cout"],
+                                  P_out=m["P_out"])
+            y = _act(y, act_kind, m["alpha"]).astype(dtype)
+            up_act = deconv_unshuffle(y)
+            # align the up path to the skip's packing (free), then concat
+            up_act = repack(up_act, m["P_out"], skip_P)
+            xp = concat_packed(up_act, skip, m["cout"], skip_c,
+                               perm=v.get("perm"))
+            P = skip_P
+            xp = run_res(f"up_{c}/res", fvars, xp)
+            c //= 2
+        # head at P=Ph (free repack from (P, 2*base))
+        Ph_ = meta["out_block"]["Ph"]
+        xp = repack(xp, P, Ph_)
+        xp = run_win("out_block/conv", fvars["out_block/conv"], xp)
+        v = fvars["out_block/proj"]
+        logits = _conv_f32(xp.astype(dtype), v["k"].astype(dtype), (1, 1, 1),
+                           ((0, 0), (0, 0), (0, 0)),
+                           ("NDHWC", "DHWIO", "NDHWC"), False)
+        logits = logits + v["b"].astype(jnp.float32).reshape(1, 1, 1, 1, -1)
+        # per-voxel softmax over packed class pairs, then free-unpack
+        cols = logits.shape[3]
+        lg = logits.reshape(B, D, H, cols, Ph_, nc)
+        if return_logits:
+            return lg.reshape(B, D, H, W, nc)
+        prob = jax.nn.softmax(lg.astype(jnp.float32), axis=-1)
+        return prob.reshape(B, D, H, W, nc)
+
+    return apply_fn, fv

@@ -233,24 +233,21 @@ def window_conv3d(x, w, b=None, P: int | None = None, out_dtype=jnp.bfloat16):
                              out_dtype=out_dtype, grad_safe=True)
 
 
-def window_conv3d_pre(x, mid, wl, wr, bp=None, *, P: int, cout: int,
-                      out_dtype=jnp.bfloat16, grad_safe: bool = False):
-    """:func:`window_conv3d` with PREBUILT (mid, left, right) kernels and
-    pre-tiled bias — see :func:`packed_conv3d_pre` for why the fused forward
-    passes kernels as arguments instead of closure constants."""
-    B, D, H, W, cin = x.shape
-    cdtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
-    cols = -(-W // P)
-    Wp = cols * P
-    xq = x.astype(cdtype)
-    if Wp != W:
-        xq = jnp.pad(xq, ((0, 0),) * 3 + ((0, Wp - W), (0, 0)))
-    # Decompose into THREE convs: the bulk on the FREE packed reshape (taps
-    # j=1..P; no input copy at all), plus two 1/P-size halo convs. Never
-    # materializes a full unfolded copy — a single-conv formulation with a
-    # concatenated [.., (P+2)*Cin] input OOMed the 512^3 slab program (XLA
-    # rematerializes the big temporary with 8-16x tile-padded layouts).
-    xp = xq.reshape(B, D, H, cols, P * cin)
+def window_conv_packed(xp, mid, wl, wr, bp=None, *, P: int, cin: int,
+                       grad_safe: bool = False):
+    """Packed-domain stride-1 window conv: ``xp`` [B,D,H,cols,P*cin] ->
+    f32 [B,D,H,cols,P*cout]. The packed-form core of
+    :func:`window_conv3d_pre`; the packed-domain V-Net forward
+    (``models/packed_vnet.py``) calls it directly so activations never
+    leave the channels-minor packed layout between ops.
+
+    Decomposes into THREE convs: the bulk on the packed view (taps
+    j=1..P; no input copy at all), plus two 1/P-size halo convs. Never
+    materializes a full unfolded copy — a single-conv formulation with a
+    concatenated [.., (P+2)*Cin] input OOMed the 512^3 slab program (XLA
+    rematerializes the big temporary with 8-16x tile-padded layouts)."""
+    cdtype = jnp.float32 if xp.dtype == jnp.float32 else jnp.bfloat16
+    xp = xp.astype(cdtype)
     pad5 = ((0, 0), (0, 0), (0, 0))
     l = jnp.pad(xp[:, :, :, :-1, (P - 1) * cin:], pad5 + ((1, 0), (0, 0)))
     r = jnp.pad(xp[:, :, :, 1:, :cin], pad5 + ((0, 1), (0, 0)))
@@ -265,10 +262,162 @@ def window_conv3d_pre(x, mid, wl, wr, bp=None, *, P: int, cout: int,
                           grad_safe)
     if bp is not None:
         out = out + bp.astype(jnp.float32).reshape(1, 1, 1, 1, -1)
+    return out
+
+
+def window_conv3d_pre(x, mid, wl, wr, bp=None, *, P: int, cout: int,
+                      out_dtype=jnp.bfloat16, grad_safe: bool = False):
+    """:func:`window_conv3d` with PREBUILT (mid, left, right) kernels and
+    pre-tiled bias — see :func:`packed_conv3d_pre` for why the fused forward
+    passes kernels as arguments instead of closure constants."""
+    B, D, H, W, cin = x.shape
+    cdtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+    cols = -(-W // P)
+    Wp = cols * P
+    xq = x.astype(cdtype)
+    if Wp != W:
+        xq = jnp.pad(xq, ((0, 0),) * 3 + ((0, Wp - W), (0, 0)))
+    xp = xq.reshape(B, D, H, cols, P * cin)       # free reshape
+    out = window_conv_packed(xp, mid, wl, wr, bp, P=P, cin=cin,
+                             grad_safe=grad_safe)
     out = out.reshape(B, D, H, Wp, cout)
     if Wp != W:
         out = out[:, :, :, :W]
     return out.astype(out_dtype)
+
+
+def down_kernel_np(w: np.ndarray, P: int):
+    """k=2/s=2 VALID down conv as a packed-domain conv kernel.
+
+    Output x position ``q*(P/2)+xo`` reads inputs ``q*P + 2*xo + dx``
+    (dx in {0,1}) — both inside the SAME packed column, so the whole
+    stride-2 conv is ONE conv [2,2,1, P*Cin, (P/2)*Cout] over (z,y,cols)
+    with window strides (2,2,1) and VALID padding: no halos, and the thin
+    Cout (32/64) reaches the full 128 GEMM lanes instead of the direct
+    lowering's padded ones. Requires P even."""
+    kd, kh, kw, cin, cout = w.shape
+    assert (kd, kh, kw) == (2, 2, 2) and P % 2 == 0
+    P2 = P // 2
+    mid = np.zeros((2, 2, 1, P * cin, P2 * cout), w.dtype)
+    for xo in range(P2):
+        for dx in range(2):
+            t = 2 * xo + dx
+            mid[:, :, 0, t * cin:(t + 1) * cin,
+                xo * cout:(xo + 1) * cout] = w[:, :, dx]
+    return mid
+
+
+def down_conv_packed(xp, mid, bp=None, *, grad_safe: bool = False):
+    """Packed k=2/s=2 down conv: [B,D,H,cols,P*Cin] ->
+    f32 [B,D/2,H/2,cols,(P/2)*Cout] (cols unchanged)."""
+    cdtype = jnp.float32 if xp.dtype == jnp.float32 else jnp.bfloat16
+    dn = ("NDHWC", "DHWIO", "NDHWC")
+    out = _conv_f32(xp.astype(cdtype), mid.astype(cdtype), (2, 2, 1),
+                    ((0, 0), (0, 0), (0, 0)), dn, grad_safe)
+    if bp is not None:
+        out = out + bp.astype(jnp.float32).reshape(1, 1, 1, 1, -1)
+    return out
+
+
+def deconv_gemm_np(w: np.ndarray, P: int):
+    """k=2/s=2 VALID ConvTranspose as a packed-domain 1x1 GEMM kernel.
+
+    With kernel extent == stride every output voxel is one linear map of
+    one input voxel. In the packed domain the x-interleave is FREE (output
+    x position ``2*xo+dx`` is just a channel block), so only the z/y
+    unshuffle (a transpose of contiguous 128-lane blocks) remains — the
+    full-spatial interleave that made :func:`deconv2x` lose in-net
+    disappears. Kernel: [1,1,1, P*Cin, 4 * 2P*Cout] with output channel
+    order (dz, dy, (2*xo+dx)*Cout + co). Matches
+    ``jax.lax.conv_transpose(..., (2,2,2), "VALID")`` (flipped taps)."""
+    kd, kh, kw, cin, cout = w.shape
+    assert (kd, kh, kw) == (2, 2, 2)
+    wf = w[::-1, ::-1, ::-1]
+    P_out = 2 * P
+    k = np.zeros((1, 1, 1, P * cin, 4 * P_out * cout), w.dtype)
+    for xo in range(P):
+        for dz in range(2):
+            for dy in range(2):
+                for dx in range(2):
+                    oc = ((dz * 2 + dy) * P_out + (2 * xo + dx)) * cout
+                    k[0, 0, 0, xo * cin:(xo + 1) * cin,
+                      oc:oc + cout] = wf[dz, dy, dx]
+    return k
+
+
+def deconv_gemm_apply(xp, k, bp=None, *, cout: int, P_out: int,
+                      grad_safe: bool = False):
+    """GEMM half of the packed k=2/s=2 deconv: [B,D,H,cols,P*Cin] ->
+    f32 [B,D,H,cols,2,2,P_out*Cout] (dz, dy still folded in channels).
+    Apply the activation + bf16 cast on THIS form, then
+    :func:`deconv_unshuffle` — transposing the post-activation bf16 tensor
+    halves the unshuffle's bytes vs transposing the f32 accumulation
+    (profiled: a 4.9 ms/slab f32 rank-7 copy on the 512^2 slab forward)."""
+    B, D, H, cols, _ = xp.shape
+    cdtype = jnp.float32 if xp.dtype == jnp.float32 else jnp.bfloat16
+    dn = ("NDHWC", "DHWIO", "NDHWC")
+    out = _conv_f32(xp.astype(cdtype), k.astype(cdtype), (1, 1, 1),
+                    ((0, 0), (0, 0), (0, 0)), dn, grad_safe)
+    if bp is not None:
+        bt = jnp.tile(bp.astype(jnp.float32), (P_out,))
+        out = out + jnp.tile(bt, (4,)).reshape(1, 1, 1, 1, -1)
+    return out.reshape(B, D, H, cols, 2, 2, P_out * cout)
+
+
+def deconv_unshuffle(y):
+    """z/y unshuffle of :func:`deconv_gemm_apply`'s output:
+    [B,D,H,cols,2,2,C'] -> [B,2D,2H,cols,C'] (contiguous 128-lane block
+    transpose; the x-interleave already happened for free in channels)."""
+    B, D, H, cols, _, _, C = y.shape
+    out = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6))
+    return out.reshape(B, 2 * D, 2 * H, cols, C)
+
+
+def deconv_packed(xp, k, bp=None, *, cout: int, P_out: int,
+                  grad_safe: bool = False):
+    """Packed k=2/s=2 deconv: [B,D,H,cols,P*Cin] ->
+    f32 [B,2D,2H,cols,P_out*Cout] with ``P_out = 2*P`` (cols unchanged)."""
+    y = deconv_gemm_apply(xp, k, bp, cout=cout, P_out=P_out,
+                          grad_safe=grad_safe)
+    return deconv_unshuffle(y)
+
+
+def interleave_perm_np(P: int, ca: int, cb: int) -> np.ndarray:
+    """0/1 permutation GEMM turning a BLOCK-concat of two packed tensors
+    into the standard x-major packed order:
+    ``out[xo*(ca+cb)+c] = in[xo*ca+c]`` for ``c < ca`` else
+    ``in[P*ca + xo*cb + (c-ca)]``. Expressing the skip-concat interleave
+    as a 1x1 conv keeps everything rank-5 channels-minor — a rank-6
+    reshape/concat formulation made XLA materialize cols-minor layouts and
+    burn ~25 ms/slab in copies around every decoder concat (profiled)."""
+    ct = ca + cb
+    m = np.zeros((1, 1, 1, P * ct, P * ct), np.float32)
+    for xo in range(P):
+        for c in range(ca):
+            m[0, 0, 0, xo * ca + c, xo * ct + c] = 1.0
+        for c in range(cb):
+            m[0, 0, 0, P * ca + xo * cb + c, xo * ct + ca + c] = 1.0
+    return m
+
+
+def concat_packed(a, b, ca: int, cb: int, perm=None):
+    """Packed-channel concat of a [.., P*ca] and b [.., P*cb] (same P) into
+    the standard x-major order [.., P*(ca+cb)].
+
+    With ``perm`` (from :func:`interleave_perm_np`): block-concat (one
+    cheap rank-5 concatenate) followed by the permutation GEMM. Without:
+    P must be 1 (block order == standard order)."""
+    P = a.shape[-1] // ca
+    cat = jnp.concatenate([a, b.astype(a.dtype)], axis=-1)
+    if P == 1:
+        return cat
+    assert perm is not None, "P > 1 packed concat needs interleave_perm_np"
+    cdtype = jnp.float32 if a.dtype == jnp.float32 else jnp.bfloat16
+    out = jax.lax.conv_general_dilated(
+        cat.astype(cdtype), perm.astype(cdtype), (1, 1, 1),
+        ((0, 0), (0, 0), (0, 0)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return out.astype(a.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype",))

@@ -1,0 +1,61 @@
+"""Packed-domain V-Net forward (models/packed_vnet.py) — exact-function
+parity against the reference flax forward."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from segmentation3d_tpu.models.vnet import SegmentationNet
+from segmentation3d_tpu.models.packed_vnet import build_packed_forward
+
+rng = np.random.default_rng(0)
+
+
+def _parity(in_ch, out_ch, shape, act="relu", base=16, atol=0.02):
+    net = SegmentationNet(in_channels=in_ch, out_channels=out_ch,
+                          base_channels=base, act=act)
+    x = jnp.asarray(rng.normal(size=(1,) + shape + (in_ch,)), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+    ref = np.asarray(net.apply(variables, x, train=False))
+    apply_fn, fv = build_packed_forward(net, variables, dtype=jnp.float32)
+    out = np.asarray(apply_fn(fv, x))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=atol)
+    agree = np.mean(np.argmax(out, -1) == np.argmax(ref, -1))
+    assert agree > 0.99
+
+
+def test_parity_2class():
+    _parity(1, 2, (16, 16, 32))
+
+
+def test_parity_multiclass_multimodal():
+    _parity(4, 4, (16, 32, 32))
+
+
+def test_parity_3class():
+    _parity(1, 3, (16, 16, 64))
+
+
+def test_parity_prelu():
+    _parity(1, 2, (16, 16, 32), act="prelu")
+
+
+def test_parity_bf16_close():
+    net = SegmentationNet(in_channels=1, out_channels=2)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 32, 1)), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(1), x, train=False)
+    ref = np.asarray(net.apply(variables, x, train=False))
+    apply_fn, fv = build_packed_forward(net, variables, dtype=jnp.bfloat16)
+    out = np.asarray(apply_fn(fv, x))
+    agree = np.mean(np.argmax(out, -1) == np.argmax(ref, -1))
+    assert agree > 0.98
+
+
+def test_w_constraint():
+    net = SegmentationNet(in_channels=1, out_channels=2)
+    x = jnp.zeros((1, 16, 16, 48, 1), jnp.float32)  # 48 % 32 != 0
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+    apply_fn, fv = build_packed_forward(net, variables, dtype=jnp.float32)
+    with pytest.raises(AssertionError):
+        apply_fn(fv, x)
