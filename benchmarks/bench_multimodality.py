@@ -35,7 +35,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from segmentation3d_tpu.models.vnet import SegmentationNet
-    from segmentation3d_tpu.models.fused_vnet import build_fused_forward
+    from segmentation3d_tpu.models.packed_vnet import build_packed_forward
     from segmentation3d_tpu.core.infer_engine import SlidingWindowInferer
     from segmentation3d_tpu.utils.normalizer import AdaptiveNormalizer
 
@@ -43,7 +43,7 @@ def main():
     net = SegmentationNet(in_channels=4, out_channels=4, dtype=dtype)
     x0 = jnp.zeros((1, 32, 32, 32, 4), jnp.float32)
     variables = net.init(jax.random.PRNGKey(0), x0, train=False)
-    apply_fn, fused_vars = build_fused_forward(net, variables, dtype=dtype)
+    apply_fn, fused_vars = build_packed_forward(net, variables, dtype=dtype)
 
     rng = np.random.default_rng(0)
     p = args.patch

@@ -139,9 +139,37 @@ def segmentation_coarse_to_fine(
     patch = tuple(int(v) for v in np.asarray(partition_size)[::-1])
     stride = tuple(int(v) for v in np.asarray(partition_stride)[::-1]) \
         if partition_stride is not None else patch
+
+    def attach_fused(model, patch_w):
+        """Attach the packed-domain (or window) fused forward to a SegModel
+        (consumed via the ``fused_apply``/``fused_vars`` attributes)."""
+        import jax
+        if dtype != jnp.bfloat16 or jax.default_backend() == "cpu":
+            return
+        try:
+            if patch_w % 32 == 0:
+                from segmentation3d_tpu.models.packed_vnet import (
+                    build_packed_forward)
+                model.fused_apply, model.fused_vars = build_packed_forward(
+                    model.net, model.variables, dtype=dtype)
+            else:
+                from segmentation3d_tpu.models.fused_vnet import (
+                    build_fused_forward)
+                model.fused_apply, model.fused_vars = build_fused_forward(
+                    model.net, model.variables, dtype=dtype)
+        except (NotImplementedError, KeyError, AssertionError):
+            pass
+
+    attach_fused(fine, patch[2])
+    # coarse pass volumes are whole downsampled volumes bucketed to the
+    # model stride; width divisibility is only known per case, so use the
+    # window-conv fused forward (always valid)
+    attach_fused(coarse, 1)
     fine_inferer = SlidingWindowInferer(
         fine.net, patch, fine.out_channels, batch_size=batch_size,
-        blend="gaussian" if stride != patch else "constant")
+        blend="gaussian" if stride != patch else "constant",
+        apply_fn=getattr(fine, "fused_apply", None),
+        apply_vars=getattr(fine, "fused_vars", None))
     coarse_cache = {}
 
     results = []

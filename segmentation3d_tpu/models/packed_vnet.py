@@ -150,10 +150,17 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16):
         fv[key] = {"k": deconv_gemm_np(w, P), "b": b}
         if skip_P > 1:
             fv[key]["perm"] = interleave_perm_np(skip_P, up, skip_c)
+        # NOTE: the res block stays at the SKIP's packing. Repacking to the
+        # minimal P for its channel count (e.g. 8 -> 4 at the full-res
+        # 32-channel level, window inflation (P+2)/3: 3.33x -> 2x) was
+        # measured WORSE (54.1 -> 48.0 volumes/min on the 512^3 headline):
+        # the -94 ms/volume of conv FLOPs came back as +246 ms of layout
+        # copies — XLA assigns different layouts to the two P-views, so the
+        # "free" reshape materializes at every level boundary.
         meta[key] = {"P": P, "P_out": 2 * P, "cout": up,
                      "alpha": alpha_of(pp, "up_act"),
-                     "skip_c": skip_c, "skip_P": skip_P}
-        P = skip_P  # after concat the level runs at the skip's packing
+                     "skip_c": skip_c, "skip_P": skip_P, "P_res": skip_P}
+        P = skip_P
         reg_res(f"up_{c}/res", pp["res"], ss["res"], nconv, P, c)
         c //= 2
     # head: repack to the window head packing
@@ -237,7 +244,8 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16):
             up_act = repack(up_act, m["P_out"], skip_P)
             xp = concat_packed(up_act, skip, m["cout"], skip_c,
                                perm=v.get("perm"))
-            P = skip_P
+            xp = repack(xp, skip_P, m["P_res"])  # free: minimal-P res block
+            P = m["P_res"]
             xp = run_res(f"up_{c}/res", fvars, xp)
             c //= 2
         # head at P=Ph (free repack from (P, 2*base))
