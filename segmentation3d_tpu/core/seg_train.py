@@ -222,23 +222,30 @@ def train(config_file: str):
             f.write("epoch,batch,loss\n")
 
     def save(epoch_idx, batch_idx):
-        variables_now = {
-            "params": jax.device_get(params),
-            "batch_stats": jax.device_get(batch_stats),
-        }
-        model_io.save_checkpoint(
-            save_dir, epoch_idx, batch_idx, variables_now,
-            net_name=cfg.net.name, max_stride=max_stride,
-            in_channels=dataset.num_modality,
-            out_channels=int(cfg.dataset.num_classes),
-            spacing=cfg.dataset.spacing,
-            interpolation=cfg.dataset.interpolation,
-            crop_normalizers=cfg.dataset.crop_normalizers,
-            config_file=config_file,
-            opt_state=jax.device_get(opt_state),
-            extra={"net_kwargs": dict(net_kwargs)} if net_kwargs else None,
-        )
-        logger.info(f"saved checkpoint chk_{epoch_idx}")
+        # multi-host: exactly one process writes (params are replicated so
+        # every host holds the same values); a barrier keeps the others
+        # from racing past the save point. Both degrade to no-ops on a
+        # single host.
+        from segmentation3d_tpu.parallel.distributed import is_primary, barrier
+        if is_primary():
+            variables_now = {
+                "params": jax.device_get(params),
+                "batch_stats": jax.device_get(batch_stats),
+            }
+            model_io.save_checkpoint(
+                save_dir, epoch_idx, batch_idx, variables_now,
+                net_name=cfg.net.name, max_stride=max_stride,
+                in_channels=dataset.num_modality,
+                out_channels=int(cfg.dataset.num_classes),
+                spacing=cfg.dataset.spacing,
+                interpolation=cfg.dataset.interpolation,
+                crop_normalizers=cfg.dataset.crop_normalizers,
+                config_file=config_file,
+                opt_state=jax.device_get(opt_state),
+                extra={"net_kwargs": dict(net_kwargs)} if net_kwargs else None,
+            )
+            logger.info(f"saved checkpoint chk_{epoch_idx}")
+        barrier(f"chk_{epoch_idx}")
 
     save_epochs = int(cfg.train.save_epochs)
     dataset_len = len(dataset)

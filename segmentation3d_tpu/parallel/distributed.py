@@ -1,12 +1,19 @@
-"""Multi-host (DCN) initialization — the additive layer beyond single-host
-SPMD (SURVEY.md P2: the reference has no distributed backend at all; here
-multi-host is one call on top of the same mesh code).
+"""Multi-host (DCN) coordination — the additive layer beyond single-host
+SPMD (SURVEY.md P2: the reference has no distributed backend at all — its
+only parallelism is single-process ``nn.DataParallel``; here multi-host is
+one call on top of the same mesh code).
 
 On a TPU pod slice, call :func:`initialize` once per host before building
 meshes; ``jax.devices()`` then spans all hosts and the existing
-``parallel.make_mesh`` / pjit code scales across DCN unchanged. On cloud
-TPUs the coordinator/process env comes from the runtime, so no arguments
-are usually needed.
+``parallel.make_mesh`` / pjit code scales across DCN unchanged (XLA
+partitions collectives over ICI within a slice and DCN across slices). On
+cloud TPUs the coordinator/process env comes from the runtime, so no
+arguments are usually needed.
+
+The train loop uses :func:`is_primary` to keep exactly one process writing
+checkpoints/logs, and :func:`barrier` to keep non-primary processes from
+racing past a save point. All helpers degrade to no-ops in a
+single-process environment, so the same code path serves 1 host and N.
 """
 from __future__ import annotations
 
@@ -31,3 +38,25 @@ def initialize(coordinator_address: str | None = None,
 def is_primary() -> bool:
     """True on the process that should write checkpoints/logs."""
     return jax.process_index() == 0
+
+
+def barrier(name: str = "barrier") -> None:
+    """Block until every process reaches this point (no-op single-process).
+
+    Used around checkpoint saves so non-primary hosts don't start the next
+    epoch's file I/O (e.g. resume-readers) before the primary finished
+    writing."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)
+
+
+def broadcast_from_primary(tree):
+    """Value of ``tree`` on process 0, on every process (identity when
+    single-process). Keeps host-side decisions (e.g. a sampled case order)
+    consistent across hosts."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+    return multihost_utils.broadcast_one_to_all(tree)
