@@ -80,13 +80,14 @@ class SlidingWindowInferer:
 
     def __init__(self, net, patch_size_zyx, num_classes, batch_size=8,
                  blend="gaussian", out_dtype=jnp.float32, apply_fn=None,
-                 mesh=None, apply_vars=None):
+                 mesh=None, apply_vars=None, packed_tail=False):
         self.net = net
         self.apply_fn = apply_fn  # overrides net.apply (e.g. fused forward)
         self.patch_size = tuple(int(v) for v in patch_size_zyx)
         self.num_classes = int(num_classes)
         self.batch_size = int(batch_size)
         self.blend = blend  # weight map is built inside the trace
+        self.packed_tail = bool(packed_tail)
         self.out_dtype = out_dtype
         # multi-chip: split the box-batch axis over mesh axis "data"
         self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
@@ -107,21 +108,55 @@ class SlidingWindowInferer:
         boxes_xyz = partition_boxes(size_xyz, (pw, ph, pd), np.asarray(stride_zyx)[::-1])
         return np.ascontiguousarray(boxes_xyz[:, ::-1])  # -> zyx starts
 
+    def _packed_p(self, vol_shape):
+        """Head packing Ph when the PACKED blend tail applies (opt-in
+        ``packed_tail=True``): the fused forward can emit probabilities
+        still in the packed head form, and for slab patches (full-XY;
+        every paste offset is (z,0,0)) the accumulators, blend, divide,
+        and argmax can all stay in [.., cols, Ph*NC]. Measured on the
+        512^3 slab headline: 53.1 vs 54.2 volumes/min for the default
+        unpacked tail — XLA already fuses the unpacked tail well (the
+        argmax reduce is ~1.6 ms/volume), so the packed form's extra
+        repeat/reshape traffic loses slightly; kept opt-in for
+        many-class heads where the unpacked [.., W, NC] tail pads NC up
+        to the 128-lane width. Returns None when not applicable."""
+        if not self.packed_tail:
+            return None
+        pd, ph, pw = self.patch_size
+        p = getattr(self.apply_fn, "packed_head_p", None)
+        if p and (ph, pw) == tuple(vol_shape[1:3]) and pw % p == 0:
+            return int(p)
+        return None
+
     def _accumulate(self, variables, vol, boxes, box_mask):
         """Scan forward+paste over box batches into LOCAL accumulators.
 
         vol: [D,H,W,Cin]; boxes: [NB, B, 3] zyx starts; box_mask: [NB, B].
-        Returns (prob [D,H,W,NC], wsum [D,H,W,1]) — unnormalized.
+        Returns (prob, wsum, Ph) — unnormalized; packed tail when Ph else
+        ``prob [D,H,W,NC], wsum [D,H,W,1]``.
         """
         pd, ph, pw = self.patch_size
         cin = vol.shape[-1]
         nc = self.num_classes
-        prob = jnp.zeros(vol.shape[:3] + (nc,), self.out_dtype)
-        wsum = jnp.zeros(vol.shape[:3] + (1,), self.out_dtype)
+        Ph = self._packed_p(vol.shape)
         weight = weight_map_traced(self.patch_size, self.blend,
                                    dtype=self.out_dtype)
+        if Ph:
+            cols = vol.shape[2] // Ph
+            prob = jnp.zeros(vol.shape[:2] + (cols, Ph * nc), self.out_dtype)
+            wsum = jnp.zeros(vol.shape[:2] + (cols, Ph), self.out_dtype)
+            # per-x-position weights in the packed view (free reshape),
+            # repeated per class to align with the xo*NC+c channel order
+            w_pk = weight[..., 0].reshape(pd, ph, cols, Ph)
+            w_cls = jnp.repeat(w_pk, nc, axis=-1)
+        else:
+            prob = jnp.zeros(vol.shape[:3] + (nc,), self.out_dtype)
+            wsum = jnp.zeros(vol.shape[:3] + (1,), self.out_dtype)
 
         def fwd(patches):
+            if Ph:
+                return self.apply_fn(variables, patches, train=False,
+                                     return_packed=True)
             if self.apply_fn is not None:
                 return self.apply_fn(variables, patches, train=False)
             return self.net.apply(variables, patches, train=False)
@@ -134,11 +169,22 @@ class SlidingWindowInferer:
                 return jax.lax.dynamic_slice(vol, (b[0], b[1], b[2], 0), (pd, ph, pw, cin))
 
             patches = jax.vmap(take)(bxs)                      # [B,pd,ph,pw,Cin]
-            probs = fwd(patches).astype(self.out_dtype)        # [B,pd,ph,pw,NC]
+            probs = fwd(patches).astype(self.out_dtype)
 
             def paste(carry, inp2):
                 prob, wsum = carry
                 b, p, m = inp2
+                if Ph:  # slab: paste offset is (z, 0, 0) by construction
+                    wp = w_cls * m
+                    cur_p = jax.lax.dynamic_slice(
+                        prob, (b[0], 0, 0, 0), (pd, ph, cols, Ph * nc))
+                    prob = jax.lax.dynamic_update_slice(
+                        prob, cur_p + p * wp, (b[0], 0, 0, 0))
+                    cur_w = jax.lax.dynamic_slice(
+                        wsum, (b[0], 0, 0, 0), (pd, ph, cols, Ph))
+                    wsum = jax.lax.dynamic_update_slice(
+                        wsum, cur_w + w_pk * m, (b[0], 0, 0, 0))
+                    return (prob, wsum), None
                 w = weight * m
                 cur_p = jax.lax.dynamic_slice(prob, (b[0], b[1], b[2], 0), (pd, ph, pw, nc))
                 prob = jax.lax.dynamic_update_slice(prob, cur_p + p * w, (b[0], b[1], b[2], 0))
@@ -151,18 +197,24 @@ class SlidingWindowInferer:
             return (prob, wsum), None
 
         (prob, wsum), _ = jax.lax.scan(body, (prob, wsum), (boxes, box_mask))
-        return prob, wsum
+        return prob, wsum, Ph
 
-    @staticmethod
-    def _finalize(prob, wsum):
+    def _finalize(self, prob, wsum, Ph=None):
+        if Ph:
+            nc = self.num_classes
+            D, H, cols, _ = prob.shape
+            prob = prob / jnp.maximum(jnp.repeat(wsum, nc, axis=-1), 1e-8)
+            pr = prob.reshape(D, H, cols, Ph, nc)
+            mask = jnp.argmax(pr, axis=-1).astype(jnp.uint8)
+            return pr.reshape(D, H, cols * Ph, nc), mask.reshape(D, H, cols * Ph)
         prob = prob / jnp.maximum(wsum, 1e-8)
         mask = jnp.argmax(prob, axis=-1).astype(jnp.uint8)
         return prob, mask
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _run(self, variables, vol, boxes, box_mask):
-        prob, wsum = self._accumulate(variables, vol, boxes, box_mask)
-        return self._finalize(prob, wsum)
+        prob, wsum, Ph = self._accumulate(variables, vol, boxes, box_mask)
+        return self._finalize(prob, wsum, Ph)
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _run_sharded(self, variables, vol, boxes, box_mask):
@@ -173,7 +225,7 @@ class SlidingWindowInferer:
         a collective)."""
 
         def local(variables, vol, bxs, msk):
-            prob, wsum = self._accumulate(variables, vol, bxs, msk)
+            prob, wsum, _ = self._accumulate(variables, vol, bxs, msk)
             prob = jax.lax.psum(prob, "data")
             wsum = jax.lax.psum(wsum, "data")
             return prob, wsum
@@ -186,7 +238,7 @@ class SlidingWindowInferer:
             local, mesh=self.mesh,
             in_specs=(P(), P(), P("data"), P("data")),
             out_specs=(P(), P()), check_vma=False)(variables, vol, boxes, box_mask)
-        return self._finalize(prob, wsum)
+        return self._finalize(prob, wsum, self._packed_p(vol.shape))
 
     def __call__(self, variables, vol, stride_zyx=None, return_prob=False):
         """Run sliding-window inference on a device volume [D,H,W,Cin].

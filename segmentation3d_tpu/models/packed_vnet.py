@@ -206,7 +206,12 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16):
         W = cols * P_from
         return x.reshape(B, D, H, W // P_to, P_to * c)
 
-    def apply_fn(fvars, x, train=False, return_logits=False):
+    def apply_fn(fvars, x, train=False, return_logits=False,
+                 return_packed=False):
+        """``return_packed=True`` returns probabilities still in the packed
+        head form [B, D, H, W/Ph, Ph*NC] (same memory as the unpacked
+        result — the caller's blend tail can stay in full-lane layouts;
+        see ``apply_fn.packed_head_p``)."""
         del train
         B, D, H, W, _ = x.shape
         assert W % 32 == 0, "packed forward requires W % 32 == 0"
@@ -263,6 +268,9 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16):
         if return_logits:
             return lg.reshape(B, D, H, W, nc)
         prob = jax.nn.softmax(lg.astype(jnp.float32), axis=-1)
+        if return_packed:
+            return prob.reshape(B, D, H, cols, Ph_ * nc)
         return prob.reshape(B, D, H, W, nc)
 
+    apply_fn.packed_head_p = Ph  # packed-tail consumers key off this
     return apply_fn, fv

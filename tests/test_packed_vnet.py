@@ -59,3 +59,35 @@ def test_w_constraint():
     apply_fn, fv = build_packed_forward(net, variables, dtype=jnp.float32)
     with pytest.raises(AssertionError):
         apply_fn(fv, x)
+
+
+def test_packed_blend_tail_equivalence():
+    """Slab inference with the packed blend tail (accumulators/argmax in
+    [.., cols, Ph*NC] form) must match the generic unpacked tail."""
+    from segmentation3d_tpu.core.infer_engine import SlidingWindowInferer
+    net = SegmentationNet(in_channels=1, out_channels=2, base_channels=4)
+    x0 = jnp.zeros((1, 16, 16, 32, 1), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(2), x0, train=False)
+    apply_fn, fv = build_packed_forward(net, variables, dtype=jnp.float32)
+    vol = jnp.asarray(rng.normal(size=(48, 32, 32, 1)), jnp.float32)
+    patch, stride = (16, 32, 32), (12, 32, 32)
+
+    packed = SlidingWindowInferer(net, patch, 2, batch_size=1,
+                                  blend="gaussian", apply_fn=apply_fn,
+                                  apply_vars=fv, packed_tail=True)
+    assert packed._packed_p((48, 32, 32, 1)) is not None
+    seg_p, prob_p = packed(variables, vol, stride_zyx=stride,
+                           return_prob=True)
+
+    # generic tail: same forward, packed output disabled via a wrapper
+    def unpacked_apply(v, x, train=False):
+        return apply_fn(v, x, train=train)
+    generic = SlidingWindowInferer(net, patch, 2, batch_size=1,
+                                   blend="gaussian", apply_fn=unpacked_apply,
+                                   apply_vars=fv)
+    assert generic._packed_p((48, 32, 32, 1)) is None
+    seg_g, prob_g = generic(variables, vol, stride_zyx=stride,
+                            return_prob=True)
+    np.testing.assert_array_equal(np.asarray(seg_p), np.asarray(seg_g))
+    np.testing.assert_allclose(np.asarray(prob_p), np.asarray(prob_g),
+                               atol=1e-6)
