@@ -173,20 +173,29 @@ def segmentation_coarse_to_fine(
     coarse_cache = {}
 
     results = []
+    failures = []
     for image_paths in cases:
         name = os.path.basename(image_paths[0])
         for suf in IMAGE_EXTS:
             if name.endswith(suf):
                 name = name[: -len(suf)]
                 break
-        mask_vol, secs, roi = segment_case_coarse_to_fine(
-            coarse, fine, image_paths, coarse_cache, fine_inferer,
-            patch, stride, margin_mm)
-        case_dir = os.path.join(output_dir, name)
-        write_image(mask_vol, os.path.join(case_dir, seg_name))
-        if save_image:
-            write_image(read_image(image_paths[0]), os.path.join(case_dir, "org.mha"))
+        try:
+            mask_vol, secs, roi = segment_case_coarse_to_fine(
+                coarse, fine, image_paths, coarse_cache, fine_inferer,
+                patch, stride, margin_mm)
+            case_dir = os.path.join(output_dir, name)
+            write_image(mask_vol, os.path.join(case_dir, seg_name))
+            if save_image:
+                write_image(read_image(image_paths[0]),
+                            os.path.join(case_dir, "org.mha"))
+        except Exception as e:  # one bad case must not abort the batch run
+            print(f"ERROR: coarse-to-fine segmentation of {name} failed: {e}")
+            failures.append((name, e))
+            continue
         print(f"coarse-to-fine segmentation of {name}: {secs:.2f} s "
               f"(roi={'found' if roi is not None else 'empty'})")
         results.append((name, secs))
+    if failures and not results:
+        raise failures[0][1]  # everything failed: not a per-case hiccup
     return results

@@ -69,3 +69,36 @@ def test_coarse_to_fine_cli(c2f_setup):
     sub = os.listdir(out)
     assert len(sub) == 1
     assert os.path.isfile(os.path.join(out, sub[0], "seg.nii.gz"))
+
+
+def test_corrupt_case_skipped(tmp_path):
+    """One unreadable case must not abort a coarse-to-fine batch run."""
+    import numpy as np
+    from segmentation3d_tpu.core.coarse_to_fine import segmentation_coarse_to_fine
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from phantoms import make_sphere_case, make_train_list, write_train_config
+    from segmentation3d_tpu.core.seg_train import train
+
+    data = tmp_path / "data"
+    cases = [make_sphere_case(str(data), f"c{i}", shape_zyx=(32, 32, 32),
+                              seed=i) for i in range(2)]
+    lst = make_train_list(str(tmp_path / "list.txt"), cases)
+    model = str(tmp_path / "model")
+    cfg = write_train_config(str(tmp_path / "cfg.py"), lst, model,
+                             crop_size=(32, 32, 32), epochs=2, batchsize=2,
+                             save_epochs=2)
+    train(cfg)
+
+    bad = tmp_path / "in" / "bad.nii.gz"
+    bad.parent.mkdir()
+    bad.write_bytes(b"not a nifti file")
+    import shutil
+    shutil.copy(cases[0][0][0], tmp_path / "in" / "good.nii.gz")
+
+    out = str(tmp_path / "out")
+    results = segmentation_coarse_to_fine(
+        str(tmp_path / "in"), model, model, out, seg_name="seg.nii.gz",
+        partition_size=(32, 32, 32))
+    assert [r[0] for r in results] == ["good"]
+    assert os.path.isfile(os.path.join(out, "good", "seg.nii.gz"))

@@ -60,5 +60,5 @@ print("DIST-OK")
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTEST_CURRENT_TEST")}
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=300, env=env)
+                         text=True, timeout=900, env=env)
     assert "DIST-OK" in out.stdout, out.stdout + out.stderr
