@@ -61,12 +61,23 @@ def read_test_csv(path):
 
 
 def find_cases(input_path):
-    """Dispatch single image / .txt list / .csv / folder like the reference CLI."""
+    """Dispatch single image / .txt list / .csv / folder like the reference
+    CLI. A folder of volume files is one case per file; a folder containing
+    ``.dcm`` slices is ONE DICOM-series case (``io.dicom``); otherwise
+    subfolders that contain ``.dcm`` slices are each a series case."""
     if os.path.isdir(input_path):
-        files = sorted(
-            os.path.join(input_path, f) for f in os.listdir(input_path)
-            if f.lower().endswith(IMAGE_EXTS))
-        return [[f] for f in files]
+        names = sorted(os.listdir(input_path))
+        files = [os.path.join(input_path, f) for f in names
+                 if f.lower().endswith(IMAGE_EXTS)]
+        if files:
+            return [[f] for f in files]
+        if any(n.lower().endswith(".dcm") for n in names):
+            return [[input_path]]  # the folder IS one DICOM series
+        series = [os.path.join(input_path, n) for n in names
+                  if os.path.isdir(os.path.join(input_path, n))
+                  and any(m.lower().endswith(".dcm")
+                          for m in os.listdir(os.path.join(input_path, n)))]
+        return [[s] for s in series]
     if input_path.endswith(".txt"):
         return read_test_txt(input_path)
     if input_path.endswith(".csv"):

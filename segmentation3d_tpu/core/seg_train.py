@@ -187,7 +187,31 @@ def train(config_file: str):
     if cfg.loss.name == "Focal":
         variables = vnet_focal_init(variables, obj_p=0.01)
 
-    optimizer = optax.adam(float(cfg.train.lr),
+    # constant-LR Adam is the reference behavior (SURVEY C10: "Adam(lr,
+    # betas)", no scheduler exists there); cfg.train.lr_scheduler is an
+    # ADDITIVE TPU-side option: {"name": "cosine"|"step"|"linear", ...}
+    lr = float(cfg.train.lr)
+    sched_cfg = cfg.train.get("lr_scheduler", None)
+    if sched_cfg:
+        total_steps = max(1, (len(dataset) * epochs) // batchsize)
+        kind = str(sched_cfg.get("name", "cosine")).lower()
+        if kind == "cosine":
+            lr = optax.cosine_decay_schedule(
+                lr, decay_steps=total_steps,
+                alpha=float(sched_cfg.get("alpha", 0.0)))
+        elif kind == "linear":
+            lr = optax.linear_schedule(
+                lr, float(sched_cfg.get("end_lr", 0.0)), total_steps)
+        elif kind == "step":
+            every = int(sched_cfg.get("step_epochs", 10))
+            steps_per_epoch = max(1, len(dataset) // batchsize)
+            lr = optax.exponential_decay(
+                lr, transition_steps=every * steps_per_epoch,
+                decay_rate=float(sched_cfg.get("gamma", 0.1)),
+                staircase=True)
+        else:
+            raise ValueError(f"unknown lr_scheduler {kind}")
+    optimizer = optax.adam(lr,
                            b1=float(cfg.train.betas[0]), b2=float(cfg.train.betas[1]))
     opt_state = optimizer.init(variables["params"])
 
@@ -246,6 +270,55 @@ def train(config_file: str):
             )
             logger.info(f"saved checkpoint chk_{epoch_idx}")
         barrier(f"chk_{epoch_idx}")
+
+    # optional in-training validation (ADDITIVE — the reference logs train
+    # loss only, SURVEY C10): cfg.train.val_list is a train-format txt of
+    # held-out (image(s), seg) cases; at every save point the current
+    # params run whole-volume inference on them and the mean foreground
+    # Dice is logged / appended to val_dice.csv.
+    val_list = cfg.train.get("val_list", None)
+    val_csv = os.path.join(save_dir, "val_dice.csv")
+
+    def validate(epoch_idx):
+        if not val_list:
+            return
+        from segmentation3d_tpu.parallel.distributed import is_primary
+        if not is_primary():
+            return
+        from segmentation3d_tpu.dataloader.dataset import read_train_txt
+        from segmentation3d_tpu.io import read_image
+        from segmentation3d_tpu.ops.resample import resample_spacing, NN
+        ims, sgs = read_train_txt(val_list)
+        dices = []
+        for img_paths, seg_path in zip(ims, sgs):
+            chans = []
+            for mi, pth in enumerate(img_paths):
+                v = read_image(pth)
+                iso, _, _ = resample_spacing(
+                    jnp.asarray(v.data).astype(jnp.float32), v.frame,
+                    cfg.dataset.spacing, pad_to_multiple=max_stride)
+                norm = cfg.dataset.crop_normalizers[mi]
+                chans.append(norm(iso) if norm is not None else iso)
+            sv = read_image(seg_path)
+            gt, _, _ = resample_spacing(
+                jnp.asarray(sv.data).astype(jnp.float32), sv.frame,
+                cfg.dataset.spacing, pad_to_multiple=max_stride, interp=NN)
+            x = jnp.stack(chans, axis=-1)[None]
+            prob = net.apply({"params": params, "batch_stats": batch_stats},
+                             x, train=False)
+            pred = jnp.argmax(prob[0], axis=-1)
+            g = np.asarray(gt) > 0
+            p = np.asarray(pred) > 0
+            inter = float(np.logical_and(g, p).sum())
+            dices.append(2.0 * inter / max(float(g.sum() + p.sum()), 1.0))
+        mean_dice = float(np.mean(dices)) if dices else 0.0
+        logger.info(f"epoch: {epoch_idx}, val dice: {mean_dice:.4f} "
+                    f"({len(dices)} cases)")
+        header = not os.path.isfile(val_csv)
+        with open(val_csv, "a") as f:
+            if header:
+                f.write("epoch,val_dice\n")
+            f.write(f"{epoch_idx},{mean_dice}\n")
 
     save_epochs = int(cfg.train.save_epochs)
     dataset_len = len(dataset)
@@ -309,6 +382,7 @@ def train(config_file: str):
                 and epoch_idx != last_saved_epoch:
             flush_logs()  # csv/logs complete up to every checkpoint
             save(epoch_idx, batch_idx)
+            validate(epoch_idx)
             last_saved_epoch = epoch_idx
         prev_epoch = epoch_idx
         batch_idx += 1
@@ -318,6 +392,7 @@ def train(config_file: str):
     final_epoch = (batch_idx * batchsize) // dataset_len
     if final_epoch != last_saved_epoch:
         save(final_epoch, max(batch_idx - 1, 0))
+        validate(final_epoch)
     if profile_dir:
         jax.profiler.stop_trace()
     from segmentation3d_tpu.utils.plotting import plot_loss_curve

@@ -114,3 +114,22 @@ def test_dicom_helper_facade(tmp_path):
                                     str(tmp_path / "s3"))
     back = dicom_helper.read_dicom_series(str(tmp_path / "s3"))
     np.testing.assert_array_equal(back.data.astype(np.int16), data)
+
+
+def test_find_cases_dicom_dirs(tmp_path):
+    """CLI case discovery treats a folder of .dcm slices as ONE series case,
+    and a folder of such folders as one case per series."""
+    from segmentation3d_tpu.core.seg_infer import find_cases
+    from segmentation3d_tpu.io.dicom import write_dicom_series
+    from segmentation3d_tpu.ops.geometry import Frame
+    import numpy as np
+    data = (np.arange(4 * 8 * 8).reshape(4, 8, 8) % 500).astype(np.int16)
+    frame = Frame.identity(spacing=(1.0, 1.0, 2.0))
+    write_dicom_series(str(tmp_path / "root" / "sA"), data, frame)
+    write_dicom_series(str(tmp_path / "root" / "sB"), data, frame)
+    # the series folder itself is one case
+    assert find_cases(str(tmp_path / "root" / "sA")) == \
+        [[str(tmp_path / "root" / "sA")]]
+    # the parent folder yields one case per series subfolder
+    assert find_cases(str(tmp_path / "root")) == [
+        [str(tmp_path / "root" / "sA")], [str(tmp_path / "root" / "sB")]]

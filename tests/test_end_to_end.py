@@ -212,3 +212,53 @@ def test_prefetcher_surfaces_dataset_errors():
     pf = _BatchPrefetcher(_BadDataset(), iter(range(100)), 2, make_mesh(1))
     with pytest.raises(RuntimeError, match="batch assembly failed"):
         next(pf)
+
+
+def test_lr_scheduler_cosine(tmp_path):
+    """Additive cfg.train.lr_scheduler option: a cosine-decay training run
+    completes and still learns (the reference has constant-LR Adam only)."""
+    data = tmp_path / "data"
+    cases = [make_sphere_case(str(data), f"c{i}", shape_zyx=(32, 32, 32),
+                              seed=i) for i in range(2)]
+    lst = make_train_list(str(tmp_path / "train.txt"), cases)
+    save_dir = str(tmp_path / "model")
+    cfg_path = write_train_config(
+        str(tmp_path / "config.py"), lst, save_dir,
+        crop_size=(32, 32, 32), epochs=10, batchsize=2, lr=3e-3,
+        save_epochs=10, sampling_method="CENTER",
+        extra=("__C.net.base_channels = 4\n"
+               "__C.train.lr_scheduler = {'name': 'cosine'}\n"))
+    from segmentation3d_tpu.core.seg_train import train
+    train(cfg_path)
+    import csv
+    with open(os.path.join(save_dir, "train_loss.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert rows, "no loss rows logged"
+    assert float(rows[-1]["loss"]) < float(rows[0]["loss"])
+
+
+def test_validation_during_training(tmp_path):
+    """cfg.train.val_list: held-out Dice logged at save points (additive —
+    the reference has no validation loop)."""
+    data = tmp_path / "data"
+    cases = [make_sphere_case(str(data), f"c{i}", shape_zyx=(32, 32, 32),
+                              seed=i) for i in range(3)]
+    lst = make_train_list(str(tmp_path / "train.txt"), cases[:2])
+    val = make_train_list(str(tmp_path / "val.txt"), cases[2:])
+    save_dir = str(tmp_path / "model")
+    cfg_path = write_train_config(
+        str(tmp_path / "config.py"), lst, save_dir,
+        crop_size=(32, 32, 32), epochs=40, batchsize=2, lr=3e-3,
+        save_epochs=10, sampling_method="CENTER",
+        extra=("__C.net.base_channels = 4\n"
+               f"__C.train.val_list = r'{val}'\n"))
+    from segmentation3d_tpu.core.seg_train import train
+    train(cfg_path)
+    import csv
+    with open(os.path.join(save_dir, "val_dice.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert rows and len(rows) >= 2, "expected several validation rows"
+    # held-out Dice should end up meaningfully non-trivial and no worse
+    # than where it started (tiny 4-channel net, 40 epochs on phantoms)
+    assert float(rows[-1]["val_dice"]) > 0.3
+    assert float(rows[-1]["val_dice"]) >= float(rows[0]["val_dice"]) - 0.05
