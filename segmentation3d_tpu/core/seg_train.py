@@ -103,13 +103,18 @@ class _BatchPrefetcher:
         return item
 
 
-def make_train_step(net, loss_fn, optimizer):
-    """Build the jitted SPMD train step (donated params/opt/batch-stats)."""
+def make_train_step(net, loss_fn, optimizer, apply_fn=None):
+    """Build the jitted SPMD train step (donated params/opt/batch-stats).
+
+    ``apply_fn``: optional replacement for ``net.apply`` with the same
+    calling convention (e.g. the packed-domain training forward,
+    ``models.packed_train.build_packed_train_apply``)."""
+    apply = apply_fn if apply_fn is not None else net.apply
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, images, segs):
         def loss_of(p):
-            probs, mutated = net.apply(
+            probs, mutated = apply(
                 {"params": p, "batch_stats": batch_stats}, images,
                 train=True, mutable=["batch_stats"])
             return loss_fn(probs, segs), mutated["batch_stats"]

@@ -286,6 +286,39 @@ def window_conv3d_pre(x, mid, wl, wr, bp=None, *, P: int, cout: int,
     return out.astype(out_dtype)
 
 
+def down_kernel(w, P: int):
+    """Traced (differentiable) twin of :func:`down_kernel_np` for the
+    packed-domain TRAINING forward, where the conv weight is a live
+    parameter: the P scatter-assembly ops run per step but cost ~KBs."""
+    kd, kh, kw, cin, cout = w.shape
+    assert (kd, kh, kw) == (2, 2, 2) and P % 2 == 0
+    P2 = P // 2
+    mid = jnp.zeros((2, 2, 1, P * cin, P2 * cout), w.dtype)
+    for xo in range(P2):
+        for dx in range(2):
+            t = 2 * xo + dx
+            mid = mid.at[:, :, 0, t * cin:(t + 1) * cin,
+                         xo * cout:(xo + 1) * cout].set(w[:, :, dx])
+    return mid
+
+
+def deconv_gemm(w, P: int):
+    """Traced (differentiable) twin of :func:`deconv_gemm_np`."""
+    kd, kh, kw, cin, cout = w.shape
+    assert (kd, kh, kw) == (2, 2, 2)
+    wf = w[::-1, ::-1, ::-1]
+    P_out = 2 * P
+    k = jnp.zeros((1, 1, 1, P * cin, 4 * P_out * cout), w.dtype)
+    for xo in range(P):
+        for dz in range(2):
+            for dy in range(2):
+                for dx in range(2):
+                    oc = ((dz * 2 + dy) * P_out + (2 * xo + dx)) * cout
+                    k = k.at[0, 0, 0, xo * cin:(xo + 1) * cin,
+                             oc:oc + cout].set(wf[dz, dy, dx])
+    return k
+
+
 def down_kernel_np(w: np.ndarray, P: int):
     """k=2/s=2 VALID down conv as a packed-domain conv kernel.
 
