@@ -22,7 +22,8 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--cases", type=int, default=4)
-    ap.add_argument("--conv_backend", default="direct", choices=["direct", "window"])
+    ap.add_argument("--conv_backend", default="direct",
+                    choices=["direct", "window", "packed_domain"])
     args = ap.parse_args()
 
     import jax
@@ -64,8 +65,12 @@ def main():
         crop_normalizers=[FixedNormalizer(-300.0, 600.0)], random_flip=True)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    # 'packed_domain' is a train-step apply_fn (models/packed_train.py), not a
+    # per-conv module backend — mirror core.seg_train.train's wiring
+    module_backend = "direct" if args.conv_backend == "packed_domain" \
+        else args.conv_backend
     net = SegmentationNet(in_channels=1, out_channels=args.classes, dtype=dtype,
-                          remat=True, conv_backend=args.conv_backend)
+                          remat=True, conv_backend=module_backend)
     x0 = jnp.zeros((1, args.crop, args.crop, args.crop, 1), jnp.float32)
     variables = net.init(jax.random.PRNGKey(0), x0, train=False)
     optimizer = optax.adam(1e-4)
@@ -73,7 +78,12 @@ def main():
     params = replicate(variables["params"], mesh)
     stats = replicate(variables["batch_stats"], mesh)
     opt_state = replicate(optimizer.init(variables["params"]), mesh)
-    step = make_train_step(net, MultiDiceLoss(num_class=args.classes), optimizer)
+    apply_fn = None
+    if args.conv_backend == "packed_domain":
+        from segmentation3d_tpu.models.packed_train import build_packed_train_apply
+        apply_fn = build_packed_train_apply(net)
+    step = make_train_step(net, MultiDiceLoss(num_class=args.classes), optimizer,
+                           apply_fn=apply_fn)
 
     def one_step():
         idxs = rng.integers(0, len(ds), args.batch)

@@ -34,7 +34,7 @@ from segmentation3d_tpu.dataloader import SegmentationDataset, EpochConcateSampl
 from segmentation3d_tpu.losses import create_loss
 from segmentation3d_tpu.models import get_network_module
 from segmentation3d_tpu.models.vnet import vnet_focal_init
-from segmentation3d_tpu.parallel import make_mesh, shard_batch, replicate
+from segmentation3d_tpu.parallel import make_mesh, make_global_batch, replicate
 from segmentation3d_tpu.utils import model_io
 from segmentation3d_tpu.utils.file_io import setup_logger
 
@@ -55,13 +55,24 @@ def _prepare_save_dir(save_dir: str, resume: bool, logger=None):
 class _BatchPrefetcher:
     """Assembles upcoming batches on a background thread (the TPU analog of
     the reference's DataLoader worker pool, ``num_threads`` -> depth): batch
-    b+1 is cropped/normalized while the device runs step b."""
+    b+1 is cropped/normalized while the device runs step b.
+
+    Multi-host: every process draws the SAME global index stream (the
+    sampler is seeded identically on all hosts) but loads/crops only its
+    own ``batchsize / process_count`` slice of each batch;
+    ``make_global_batch`` stitches the local rows into the globally-sharded
+    array, so no host reads cases another host's devices consume. The
+    returned ``frames``/``names`` describe the LOCAL rows only."""
 
     def __init__(self, dataset, index_iter, batchsize, mesh, depth=2):
         self.dataset = dataset
         self.index_iter = index_iter
         self.batchsize = batchsize
         self.mesh = mesh
+        self.pc = jax.process_count()
+        self.pi = jax.process_index()
+        assert batchsize % self.pc == 0
+        self.local_rows = batchsize // self.pc
         self._stop = False
         self.q = _queue.Queue(maxsize=max(1, depth))
         self.thread = threading.Thread(target=self._run, daemon=True)
@@ -74,9 +85,12 @@ class _BatchPrefetcher:
             except StopIteration:
                 self.q.put(None)
                 return
+            local = idxs[self.pi * self.local_rows:
+                         (self.pi + 1) * self.local_rows]
             try:
-                batch = self.dataset.batch(idxs)
-                images, segs = shard_batch((batch[0], batch[1]), self.mesh)
+                batch = self.dataset.batch(local)
+                images, segs = make_global_batch(
+                    (batch[0], batch[1]), self.mesh, self.batchsize)
             except Exception as e:  # surface in the train loop, not a hang:
                 # a dead prefetch thread would block q.get() forever
                 self.q.put(e)
@@ -129,12 +143,17 @@ def make_train_step(net, loss_fn, optimizer, apply_fn=None):
 
 def train(config_file: str):
     cfg = load_config(config_file)
+    from segmentation3d_tpu.parallel.distributed import is_primary, barrier
+    primary = is_primary()
 
     save_dir = cfg.general.save_dir
     resume_epoch = int(cfg.general.resume_epoch)
     resume = resume_epoch >= 0
-    _prepare_save_dir(save_dir, resume)
-    logger = setup_logger(os.path.join(save_dir, "train_log.txt"))
+    if primary:  # one process owns the save-dir lifecycle and all file logs
+        _prepare_save_dir(save_dir, resume)
+    barrier("save_dir_ready")
+    logger = setup_logger(os.path.join(save_dir, "train_log.txt"),
+                          to_file=primary)
 
     seed = int(cfg.general.seed)
     rng = jax.random.PRNGKey(seed)
@@ -171,6 +190,20 @@ def train(config_file: str):
 
     dtype = jnp.bfloat16 if cfg.get("tpu", {}).get("dtype", "float32") == "bfloat16" \
         else jnp.float32
+    # conv lowering backend. 'direct'/'window' select Conv3d's per-conv
+    # lowering; 'packed_domain' keeps the WHOLE training forward in the
+    # packed channels-minor form (models.packed_train — the fastest measured
+    # backend) and is applied below as a train-step apply_fn, with the flax
+    # module itself built 'direct' (identical parameter tree).
+    conv_backend = str(cfg.get("tpu", {}).get("conv_backend", "direct"))
+    if conv_backend not in ("direct", "window", "packed_domain"):
+        raise ValueError(
+            f"cfg.tpu.conv_backend {conv_backend!r} is not one of "
+            "'direct', 'window', 'packed_domain'")
+    if conv_backend == "packed_domain" and int(crop_size[0]) % 32 != 0:
+        raise ValueError(
+            f"conv_backend 'packed_domain' requires crop width (crop_size x "
+            f"= {int(crop_size[0])}) % 32 == 0; use 'window' otherwise")
     # optional architecture hyper-params from cfg.net (recorded in checkpoints
     # so inference rebuilds the exact same net)
     net_kwargs = {k: cfg.net[k] for k in
@@ -181,7 +214,7 @@ def train(config_file: str):
         out_channels=int(cfg.dataset.num_classes),
         dtype=dtype,
         remat=bool(cfg.get("tpu", {}).get("remat", True)),
-        conv_backend=str(cfg.get("tpu", {}).get("conv_backend", "direct")),
+        conv_backend="direct" if conv_backend == "packed_domain" else conv_backend,
         **net_kwargs,
     )
 
@@ -239,14 +272,21 @@ def train(config_file: str):
     n_dev = mesh.devices.size
     if batchsize % n_dev != 0 and n_dev > 1:
         raise ValueError(f"batchsize {batchsize} must divide over {n_dev} devices")
+    if batchsize % jax.process_count() != 0:
+        raise ValueError(f"batchsize {batchsize} must divide over "
+                         f"{jax.process_count()} processes")
     params = replicate(variables["params"], mesh)
     batch_stats = replicate(variables["batch_stats"], mesh)
     loss_fn = create_loss(cfg.loss, int(cfg.dataset.num_classes))
     opt_state = replicate(opt_state, mesh)
-    train_step = make_train_step(net, loss_fn, optimizer)
+    apply_fn = None
+    if conv_backend == "packed_domain":
+        from segmentation3d_tpu.models.packed_train import build_packed_train_apply
+        apply_fn = build_packed_train_apply(net)
+    train_step = make_train_step(net, loss_fn, optimizer, apply_fn=apply_fn)
 
     loss_csv = os.path.join(save_dir, "train_loss.csv")
-    if not os.path.isfile(loss_csv):
+    if primary and not os.path.isfile(loss_csv):
         with open(loss_csv, "w") as f:
             f.write("epoch,batch,loss\n")
 
@@ -255,8 +295,7 @@ def train(config_file: str):
         # every host holds the same values); a barrier keeps the others
         # from racing past the save point. Both degrade to no-ops on a
         # single host.
-        from segmentation3d_tpu.parallel.distributed import is_primary, barrier
-        if is_primary():
+        if primary:
             variables_now = {
                 "params": jax.device_get(params),
                 "batch_stats": jax.device_get(batch_stats),
@@ -283,47 +322,35 @@ def train(config_file: str):
     # Dice is logged / appended to val_dice.csv.
     val_list = cfg.train.get("val_list", None)
     val_csv = os.path.join(save_dir, "val_dice.csv")
+    val_inferers = {}  # one compiled program per shape bucket, run-lifetime
+    num_classes = int(cfg.dataset.num_classes)
 
     def validate(epoch_idx):
-        if not val_list:
+        if not val_list or not primary:
             return
-        from segmentation3d_tpu.parallel.distributed import is_primary
-        if not is_primary():
-            return
-        from segmentation3d_tpu.dataloader.dataset import read_train_txt
-        from segmentation3d_tpu.io import read_image
-        from segmentation3d_tpu.ops.resample import resample_spacing, NN
-        ims, sgs = read_train_txt(val_list)
-        dices = []
-        for img_paths, seg_path in zip(ims, sgs):
-            chans = []
-            for mi, pth in enumerate(img_paths):
-                v = read_image(pth)
-                iso, _, _ = resample_spacing(
-                    jnp.asarray(v.data).astype(jnp.float32), v.frame,
-                    cfg.dataset.spacing, pad_to_multiple=max_stride)
-                norm = cfg.dataset.crop_normalizers[mi]
-                chans.append(norm(iso) if norm is not None else iso)
-            sv = read_image(seg_path)
-            gt, _, _ = resample_spacing(
-                jnp.asarray(sv.data).astype(jnp.float32), sv.frame,
-                cfg.dataset.spacing, pad_to_multiple=max_stride, interp=NN)
-            x = jnp.stack(chans, axis=-1)[None]
-            prob = net.apply({"params": params, "batch_stats": batch_stats},
-                             x, train=False)
-            pred = jnp.argmax(prob[0], axis=-1)
-            g = np.asarray(gt) > 0
-            p = np.asarray(pred) > 0
-            inter = float(np.logical_and(g, p).sum())
-            dices.append(2.0 * inter / max(float(g.sum() + p.sum()), 1.0))
-        mean_dice = float(np.mean(dices)) if dices else 0.0
+        from segmentation3d_tpu.core.validation import validate_cases
+        # params live on the (possibly multi-host) mesh; validation is a
+        # primary-local computation, so pull the replicated values to host
+        host_vars = {"params": jax.device_get(params),
+                     "batch_stats": jax.device_get(batch_stats)}
+        mean_dice, per_class, n = validate_cases(
+            net, host_vars, val_list,
+            spacing=cfg.dataset.spacing,
+            interpolation=cfg.dataset.interpolation,
+            normalizers=cfg.dataset.crop_normalizers,
+            num_classes=num_classes, max_stride=max_stride,
+            shape_bucket=int(cfg.train.get("val_shape_bucket", 32)),
+            inferer_cache=val_inferers)
+        detail = ", ".join(f"c{c + 1}: {d:.4f}" for c, d in enumerate(per_class))
         logger.info(f"epoch: {epoch_idx}, val dice: {mean_dice:.4f} "
-                    f"({len(dices)} cases)")
+                    f"({n} cases{'; ' + detail if len(per_class) > 1 else ''})")
         header = not os.path.isfile(val_csv)
         with open(val_csv, "a") as f:
             if header:
-                f.write("epoch,val_dice\n")
-            f.write(f"{epoch_idx},{mean_dice}\n")
+                cols = ",".join(f"dice_c{c + 1}" for c in range(len(per_class)))
+                f.write(f"epoch,val_dice{',' + cols if cols else ''}\n")
+            vals = ",".join(f"{d}" for d in per_class)
+            f.write(f"{epoch_idx},{mean_dice}{',' + vals if vals else ''}\n")
 
     save_epochs = int(cfg.train.save_epochs)
     dataset_len = len(dataset)
@@ -349,7 +376,19 @@ def train(config_file: str):
     def flush_logs():
         if not pending:
             return
+        # EVERY process synchronizes on the loss values here — only the file
+        # writes below are primary-only. Skipping the device_get on
+        # non-primary hosts lets them run arbitrarily far ahead of the async
+        # device stream, dispatching later cross-process programs while
+        # older steps are still in flight; combined with any device-level
+        # barrier that is its own program, processes then initialize
+        # collective cliques in different orders and deadlock (measured on a
+        # 2-process CPU/gloo cluster). Lockstep here costs one tiny
+        # replicated-scalar readback per flush.
         vals = jax.device_get([p[2] for p in pending])
+        if not primary:  # one process owns train_log.txt / train_loss.csv
+            pending.clear()
+            return
         with open(loss_csv, "a") as f:
             for (ep, bi, _, dt), lv in zip(pending, vals):
                 logger.info(f"epoch: {ep}, batch: {bi}, "
@@ -372,7 +411,9 @@ def train(config_file: str):
         if len(pending) >= log_every:
             flush_logs()
 
-        if cfg.debug.get("save_inputs", False):
+        if cfg.debug.get("save_inputs", False) and jax.process_count() == 1:
+            # debug crop dumps are a single-process inspection feature: under
+            # multi-host only local batch rows are addressable
             from segmentation3d_tpu.io import Volume, write_image
             dbg = os.path.join(save_dir, "debug")
             for b, (frame, name) in enumerate(zip(frames, names)):
@@ -400,7 +441,8 @@ def train(config_file: str):
         validate(final_epoch)
     if profile_dir:
         jax.profiler.stop_trace()
-    from segmentation3d_tpu.utils.plotting import plot_loss_curve
-    plot_loss_curve(loss_csv)
+    if primary:
+        from segmentation3d_tpu.utils.plotting import plot_loss_curve
+        plot_loss_curve(loss_csv)
     logger.info("training finished")
     return save_dir

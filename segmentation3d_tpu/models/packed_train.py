@@ -28,8 +28,11 @@ untouched — and computes the identical function in the packed domain:
   levels RETURN their new BN stats (no side effects across the remat
   boundary).
 
-Selected with ``cfg.tpu.conv_backend = 'packed_domain'``. Constraint:
-crop W % 32 == 0 (same as the inference packed forward).
+Selected with ``cfg.tpu.conv_backend = 'packed_domain'`` (wired in
+``core.seg_train.train``, which passes this module's apply as the train
+step's ``apply_fn``; unknown backend strings are rejected there and in
+``models.vnet``). Constraint: crop W % 32 == 0 (same as the inference
+packed forward; enforced with a clear error at config load).
 """
 from __future__ import annotations
 

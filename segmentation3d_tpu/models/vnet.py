@@ -51,6 +51,15 @@ class Conv3d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.backend not in ("direct", "window"):
+            # 'packed_domain' (and typos) must not silently run direct: the
+            # packed-domain forward is selected at the TRAIN-LOOP level
+            # (core.seg_train builds models.packed_train.build_packed_train_apply)
+            # and never reaches per-conv dispatch.
+            raise ValueError(
+                f"unknown conv backend {self.backend!r}: Conv3d lowers "
+                "'direct' or 'window' ('packed_domain' is a train-loop "
+                "selection, see cfg.tpu.conv_backend in core.seg_train)")
         cin = x.shape[-1]
         kernel = self.param("kernel", KAIMING,
                             (self.ksize,) * 3 + (cin, self.features), jnp.float32)
@@ -253,6 +262,11 @@ class SegmentationNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_logits: bool = False):
+        if self.conv_backend not in ("direct", "window"):
+            raise ValueError(
+                f"unknown conv_backend {self.conv_backend!r} (expected "
+                "'direct' or 'window'; 'packed_domain' selects the packed "
+                "training forward in core.seg_train, not a module backend)")
         assert x.shape[-1] == self.in_channels, (
             f"expected {self.in_channels} input channels, got {x.shape}")
         x = x.astype(self.dtype)

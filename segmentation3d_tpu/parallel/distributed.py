@@ -40,16 +40,31 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
-def barrier(name: str = "barrier") -> None:
+def barrier(name: str = "barrier", timeout_ms: int = 600_000) -> None:
     """Block until every process reaches this point (no-op single-process).
 
     Used around checkpoint saves so non-primary hosts don't start the next
     epoch's file I/O (e.g. resume-readers) before the primary finished
-    writing."""
+    writing.
+
+    This is a HOST barrier through the coordination service, NOT a device
+    collective (``sync_global_devices``): a psum-based barrier is an
+    independent device program, so a host that runs ahead of the async
+    device stream can launch it while older steps are still in flight —
+    processes then initialize their collective cliques in different orders
+    and deadlock (measured on a 2-process CPU/gloo cluster: rank 0 stuck
+    creating the step-4 clique while rank 1 creates the barrier clique).
+    ``name`` must be unique per synchronization point (the train loop uses
+    ``chk_<epoch>``)."""
     if jax.process_count() == 1:
         return
+    from jax._src import distributed
+    client = getattr(distributed.global_state, "client", None)
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+        return
     from jax.experimental import multihost_utils
-    multihost_utils.sync_global_devices(name)
+    multihost_utils.sync_global_devices(name)  # fallback: device barrier
 
 
 def broadcast_from_primary(tree):

@@ -31,15 +31,48 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def replicate(tree, mesh: Mesh):
-    """Fully-replicated placement of a pytree over the mesh."""
+    """Fully-replicated placement of a pytree over the mesh.
+
+    Multi-process meshes (a mesh spanning non-addressable devices) go
+    through ``make_array_from_callback`` — every process holds the same
+    host value (seeded init / broadcast), so the callback never moves data
+    across hosts."""
     sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def mk(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
+    return jax.tree_util.tree_map(mk, tree)
 
 
 def shard_batch(tree, mesh: Mesh):
-    """Place batch arrays with their leading axis sharded over ``data``."""
+    """Place batch arrays with their leading axis sharded over ``data``
+    (single-process path: the caller holds the whole global batch)."""
     sharding = data_sharding(mesh)
     return jax.device_put(tree, sharding)
+
+
+def make_global_batch(local_tree, mesh: Mesh, global_batch_size: int):
+    """Globally-sharded batch from this process's LOCAL rows.
+
+    The multi-host data path (SURVEY P2): each process assembles only the
+    ``global_batch // process_count`` rows its own devices consume, and
+    ``jax.make_array_from_process_local_data`` stitches them into one
+    global array — no host ever materializes the full batch and no
+    cross-host copy happens. Degrades to :func:`shard_batch` (identical
+    placement) when single-process."""
+    if jax.process_count() == 1:
+        return shard_batch(local_tree, mesh)
+    sharding = data_sharding(mesh)
+
+    def mk(x):
+        x = np.asarray(x)  # device-side crops come back to host once
+        gshape = (global_batch_size,) + tuple(x.shape[1:])
+        return jax.make_array_from_process_local_data(sharding, x, gshape)
+    return jax.tree_util.tree_map(mk, local_tree)
 
 
 def pad_batch_to_devices(n: int, num_devices: int) -> int:

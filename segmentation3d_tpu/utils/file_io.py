@@ -63,18 +63,20 @@ def load_config(config_file: str):
     return module.cfg
 
 
-def setup_logger(log_file: str, name: str = "seg3d"):
+def setup_logger(log_file: str, name: str = "seg3d", to_file: bool = True):
     """File + stdout logger; reference format: per-batch lines into
-    ``train_log.txt``."""
+    ``train_log.txt``. ``to_file=False`` keeps stdout only (non-primary
+    processes of a multi-host run must not race on the shared log file)."""
     logger = logging.getLogger(name)
     logger.setLevel(logging.INFO)
     logger.handlers.clear()
     fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s",
                             datefmt="%m-%d %H:%M:%S")
-    os.makedirs(os.path.dirname(os.path.abspath(log_file)), exist_ok=True)
-    fh = logging.FileHandler(log_file)
-    fh.setFormatter(fmt)
-    logger.addHandler(fh)
+    if to_file:
+        os.makedirs(os.path.dirname(os.path.abspath(log_file)), exist_ok=True)
+        fh = logging.FileHandler(log_file)
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
     sh = logging.StreamHandler(sys.stdout)
     sh.setFormatter(fmt)
     logger.addHandler(sh)

@@ -142,6 +142,45 @@ def test_num_partition_mode(trained_model):
     assert _dice(pred.data, truth.data) >= 0.85
 
 
+def test_size_partition_clamps_small_volume(trained_model):
+    """SIZE partitioning with a box larger than the case must clamp the box
+    to the (padded) volume — the reference resamples+pads so every volume
+    fits its partition (SURVEY §3.2) — instead of failing the case."""
+    root, cases, save_dir, _ = trained_model
+    from segmentation3d_tpu.core.seg_infer import segmentation
+    from segmentation3d_tpu.io import read_image
+    out = str(root / "out_size_clamp")
+    results = segmentation(cases[0][0][0], save_dir, out, seg_name="seg.nii.gz",
+                           partition_type="SIZE", partition_size=[64, 64, 64],
+                           partition_stride=[48, 48, 48], batch_size=1)
+    assert len(results) == 1
+    pred = read_image(os.path.join(out, results[0][0], "seg.nii.gz"))
+    truth = read_image(cases[0][1])
+    assert _dice(pred.data, truth.data) >= 0.85
+
+
+def test_post_remove_small_cc_cli(trained_model, tmp_path):
+    """--post remove_small_cc with --post_threshold through the CLI: small
+    speckle components are dropped from the written mask."""
+    root, cases, save_dir, _ = trained_model
+    from segmentation3d_tpu.cli.seg_infer import main
+    from segmentation3d_tpu.io import read_image
+    out = str(tmp_path / "out_cc")
+    main(["-i", cases[0][0][0], "-m", save_dir, "-o", out,
+          "-n", "seg.nii.gz", "--post", "remove_small_cc",
+          "--post_threshold", "10", "--batch_size", "1"])
+    case = os.listdir(out)[0]
+    pred = read_image(os.path.join(out, case, "seg.nii.gz")).data
+    truth = read_image(cases[0][1])
+    assert _dice(pred, truth.data) >= 0.85
+    # every surviving foreground component is >= threshold voxels
+    from scipy import ndimage
+    lab, n = ndimage.label(pred > 0)
+    if n:
+        sizes = ndimage.sum(np.ones_like(lab), lab, index=range(1, n + 1))
+        assert min(sizes) >= 10
+
+
 def test_loss_curve_plot(trained_model):
     root, cases, save_dir, _ = trained_model
     png = os.path.join(save_dir, "train_loss.png")
@@ -237,6 +276,66 @@ def test_lr_scheduler_cosine(tmp_path):
     assert float(rows[-1]["loss"]) < float(rows[0]["loss"])
 
 
+def test_packed_domain_backend_e2e(tmp_path):
+    """cfg.tpu.conv_backend = 'packed_domain' selected through a config file
+    trains for real (overfit Dice >= 0.9 through seg_infer) and resumes —
+    the fastest measured training backend must be reachable from the
+    product path, not only from unit tests."""
+    data = tmp_path / "data"
+    cases = [make_sphere_case(str(data), f"c{i}", shape_zyx=(32, 32, 32),
+                              seed=i) for i in range(2)]
+    lst = make_train_list(str(tmp_path / "train.txt"), cases)
+    save_dir = str(tmp_path / "model")
+    cfg_path = write_train_config(
+        str(tmp_path / "config.py"), lst, save_dir,
+        crop_size=(32, 32, 32), epochs=60, batchsize=2, lr=3e-3,
+        save_epochs=20, sampling_method="CENTER",
+        extra=("__C.net.base_channels = 4\n"
+               "__C.tpu = edict()\n"
+               "__C.tpu.conv_backend = 'packed_domain'\n"))
+    from segmentation3d_tpu.core.seg_train import train
+    train(cfg_path)
+    from segmentation3d_tpu.core.seg_infer import segmentation
+    from segmentation3d_tpu.io import read_image
+    out_dir = str(tmp_path / "out")
+    results = segmentation(cases[0][0][0], save_dir, out_dir,
+                           seg_name="seg.nii.gz", batch_size=1)
+    pred = read_image(os.path.join(out_dir, results[0][0], "seg.nii.gz"))
+    truth = read_image(cases[0][1])
+    d = _dice(pred.data, truth.data)
+    assert d >= 0.90, f"packed_domain overfit Dice {d:.3f} < 0.90"
+    # resume continues from the packed-backend checkpoint
+    from segmentation3d_tpu.utils import model_io
+    latest = model_io.latest_checkpoint(save_dir)
+    epoch = int(latest.rsplit("chk_", 1)[1])
+    text = open(cfg_path).read().replace(
+        "__C.general.resume_epoch = -1", f"__C.general.resume_epoch = {epoch}")
+    resume_cfg = str(tmp_path / "config_resume.py")
+    open(resume_cfg, "w").write(text.replace("__C.train.epochs = 60",
+                                             "__C.train.epochs = 62"))
+    train(resume_cfg)
+    latest2 = model_io.latest_checkpoint(save_dir)
+    assert int(latest2.rsplit("chk_", 1)[1]) >= epoch
+
+
+def test_unknown_conv_backend_rejected(tmp_path):
+    """Typos in cfg.tpu.conv_backend fail loudly instead of silently
+    training with the slowest backend."""
+    data = tmp_path / "data"
+    cases = [make_sphere_case(str(data), "c0", shape_zyx=(32, 32, 32))]
+    lst = make_train_list(str(tmp_path / "train.txt"), cases)
+    cfg_path = write_train_config(
+        str(tmp_path / "config.py"), lst, str(tmp_path / "model"),
+        crop_size=(32, 32, 32), epochs=1, batchsize=1,
+        sampling_method="CENTER",
+        extra=("__C.net.base_channels = 4\n"
+               "__C.tpu = edict()\n"
+               "__C.tpu.conv_backend = 'packed_domian'\n"))
+    from segmentation3d_tpu.core.seg_train import train
+    with pytest.raises(ValueError, match="conv_backend"):
+        train(cfg_path)
+
+
 def test_validation_during_training(tmp_path):
     """cfg.train.val_list: held-out Dice logged at save points (additive —
     the reference has no validation loop)."""
@@ -262,3 +361,7 @@ def test_validation_during_training(tmp_path):
     # than where it started (tiny 4-channel net, 40 epochs on phantoms)
     assert float(rows[-1]["val_dice"]) > 0.3
     assert float(rows[-1]["val_dice"]) >= float(rows[0]["val_dice"]) - 0.05
+    # per-class Dice columns (round-3: val_dice.csv carries one column per
+    # foreground class; for 2 classes val_dice == dice_c1)
+    assert "dice_c1" in rows[-1]
+    assert float(rows[-1]["dice_c1"]) == float(rows[-1]["val_dice"])

@@ -1,0 +1,79 @@
+"""In-training validation (core/validation.py): shape-bucket program reuse
+and per-class Dice math."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from segmentation3d_tpu.core.validation import validate_cases
+from segmentation3d_tpu.io import Volume, write_image
+from segmentation3d_tpu.ops.geometry import Frame
+from phantoms import make_train_list
+
+
+class _RoundNet:
+    """Duck-typed net whose prediction is round(image channel 0) — lets the
+    validation path be tested without training."""
+
+    def __init__(self, num_classes):
+        self.num_classes = num_classes
+
+    def apply(self, variables, x, train=False):
+        cls = jnp.clip(jnp.round(x[..., 0]).astype(jnp.int32), 0,
+                       self.num_classes - 1)
+        return jax.nn.one_hot(cls, self.num_classes, dtype=jnp.float32)
+
+
+def _write_case(dirpath, name, img, seg):
+    os.makedirs(dirpath, exist_ok=True)
+    frame = Frame.identity()
+    ip = os.path.join(dirpath, f"{name}_img.nii.gz")
+    sp = os.path.join(dirpath, f"{name}_seg.nii.gz")
+    write_image(Volume(img.astype(np.float32), frame), ip)
+    write_image(Volume(seg.astype(np.uint8), frame), sp)
+    return [ip], sp
+
+
+def test_shape_bucketing_shares_one_program(tmp_path):
+    """Cases of different native shapes within one bucket produce exactly
+    ONE cached inferer (i.e. one compiled program — the round-2 validate()
+    retraced per case shape, which costs minutes per shape on the relay)."""
+    rng = np.random.default_rng(0)
+    cases = []
+    for i, shape in enumerate([(26, 28, 30), (30, 26, 28), (32, 32, 32)]):
+        seg = (rng.random(shape) > 0.7).astype(np.uint8)
+        img = seg.astype(np.float32)
+        cases.append(_write_case(str(tmp_path / "d"), f"c{i}", img, seg))
+    lst = make_train_list(str(tmp_path / "val.txt"), cases)
+    cache = {}
+    mean, per_class, n = validate_cases(
+        _RoundNet(2), {}, lst, spacing=[1.0, 1.0, 1.0],
+        interpolation="LINEAR", normalizers=[None], num_classes=2,
+        max_stride=16, shape_bucket=32, inferer_cache=cache)
+    assert n == 3
+    assert len(cache) == 1, f"expected one shape bucket, got {list(cache)}"
+    assert mean > 0.9  # round-trip of the image IS the label
+
+
+def test_per_class_dice_values(tmp_path):
+    """dice_c1/dice_c2 match a hand-computed value on a known mismatch."""
+    shape = (32, 32, 32)
+    seg = np.zeros(shape, np.uint8)
+    seg[4:12, 4:12, 4:12] = 1
+    seg[20:28, 20:28, 20:28] = 2
+    img = seg.astype(np.float32)
+    img[20:28, 20:28, 20:24] = 0.0  # half the class-2 region predicted 0
+    cases = [_write_case(str(tmp_path / "d"), "c0", img, seg)]
+    lst = make_train_list(str(tmp_path / "val.txt"), cases)
+    mean, per_class, n = validate_cases(
+        _RoundNet(3), {}, lst, spacing=[1.0, 1.0, 1.0],
+        interpolation="LINEAR", normalizers=[None], num_classes=3,
+        max_stride=16, shape_bucket=32)
+    assert n == 1 and len(per_class) == 2
+    np.testing.assert_allclose(per_class[0], 1.0, atol=1e-6)
+    g2 = float((seg == 2).sum())          # 512
+    p2 = float((img == 2).sum())          # 256
+    expected_c2 = 2 * p2 / (g2 + p2)
+    np.testing.assert_allclose(per_class[1], expected_c2, atol=1e-6)
+    np.testing.assert_allclose(mean, (1.0 + expected_c2) / 2, atol=1e-6)
