@@ -39,9 +39,14 @@ def main(argv=None):
                         metavar=("X", "Y", "Z"))
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--blend", default="gaussian", choices=["gaussian", "constant"])
-    parser.add_argument("--post", default=None, choices=[None, "largest_cc"],
-                        help="connected-component post-processing")
-    parser.add_argument("--post_threshold", type=int, default=64)
+    parser.add_argument("--post", default=None,
+                        choices=[None, "largest_cc", "remove_small_cc"],
+                        help="connected-component post-processing: keep only "
+                             "the largest component, or drop components "
+                             "smaller than --post_threshold voxels")
+    parser.add_argument("--post_threshold", type=int, default=64,
+                        help="minimum component size (voxels) kept by "
+                             "--post remove_small_cc")
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     parser.add_argument("--num_devices", type=int, default=1,
                         help=">1 or -1 (all): shard each volume's patch "
@@ -75,6 +80,8 @@ def main(argv=None):
     post = None
     if args.post == "largest_cc":
         post = {"type": "largest_cc"}
+    elif args.post == "remove_small_cc":
+        post = {"type": "remove_small_cc", "threshold": args.post_threshold}
 
     segmentation(
         input_path=args.input, model_dir=args.model, output_dir=args.output,

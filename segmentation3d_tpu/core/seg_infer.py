@@ -154,11 +154,12 @@ class _ReadAhead:
     device compute of case N.
 
     Volumes are read in their STORED dtype (CT is almost always int16 on
-    disk) and ``jax.device_put`` is issued from this thread, so the
-    host->device transfer (the axon link moves ~20-25 MB/s — measured) both
-    starts early and moves half the bytes of the old float32 upload. The
-    device arrays ride along in ``Volume.data``'s place via the ``devs``
-    element; the host numpy stays available for ``save_image``."""
+    disk), bit-packed to the value range's width (``ops.volume_pack``:
+    int16 CT fits 12 bits -> 25% fewer bytes, 8-bit data -> 50%), and
+    ``jax.device_put`` is issued from this thread, so the host->device
+    transfer (the axon link moves ~20-25 MB/s — measured) starts early and
+    moves the minimum bytes. ``devs`` holds ``(device_array, pack_meta)``
+    pairs; the host numpy stays available for ``save_image``."""
 
     def __init__(self, cases, depth=2, to_device=True):
         self.q = _queue.Queue(maxsize=max(1, depth))
@@ -174,7 +175,11 @@ class _ReadAhead:
                 vols = [read_image(p) for p in image_paths]
                 devs = None
                 if to_device:
-                    devs = [jax.device_put(v.data) for v in vols]
+                    from segmentation3d_tpu.ops.volume_pack import pack_volume_np
+                    devs = []
+                    for v in vols:
+                        packed, meta = pack_volume_np(v.data)
+                        devs.append((jax.device_put(packed), meta))
                 self.q.put((image_paths, vols, devs, None))
             except Exception as e:  # surface the error at consumption time
                 self.q.put((image_paths, None, None, e))
@@ -249,17 +254,24 @@ import jax as _jax
 
 
 @_functools.partial(_jax.jit, static_argnames=(
-    "kind", "out_shape", "interp", "fill", "norm_spec", "valid_zyx"))
-def _prep_modality(src, coeffs, *, kind, out_shape, interp, fill,
-                   norm_spec, valid_zyx):
+    "kind", "out_shape", "interp", "fill", "norm_spec", "valid_zyx",
+    "pack_scheme", "src_shape"))
+def _prep_modality(src, coeffs, pack_lo, *, kind, out_shape, interp, fill,
+                   norm_spec, valid_zyx, pack_scheme="raw", src_shape=None):
     """ONE program for a modality's whole device-side preprocessing:
-    stored-dtype upload -> f32 resample onto the iso grid -> normalize.
-    Fusing these (instead of eager resample + eager normalizer ops) matters
+    bit-packed stored-dtype upload -> unpack (``ops.volume_pack``) -> f32
+    resample onto the iso grid -> normalize.
+    Fusing these (instead of eager unpack + eager resample + eager
+    normalizer ops) matters
     on the remote-compile relay, where every distinct program costs seconds to
     minutes of first-call latency — program COUNT is a first-order cost.
     ``norm_spec``: hashable ``tuple(sorted(normalizer.to_dict().items()))``
     or None; ``valid_zyx``: unpadded region for adaptive stats (None for
     non-adaptive specs so shared cases don't fork compilations)."""
+    if pack_scheme != "raw":
+        from segmentation3d_tpu.ops.volume_pack import unpack_volume
+        src = unpack_volume(src, scheme=pack_scheme, shape=src_shape,
+                            lo=pack_lo)
     iso = resample_exec(src, kind, coeffs, out_shape, interp, fill,
                         out_dtype=jnp.float32)
     if norm_spec is not None:
@@ -330,9 +342,14 @@ def segmentation_one_case(model: SegModel, image_paths, inferer: SlidingWindowIn
     iso_frame, iso_size = resampled_frame(
         vols[0].frame, vols[0].size_xyz, model.spacing, pad_mult)
     for mi, v in enumerate(vols):
-        # stored-dtype upload (int16 CT halves the H2D bytes; the f32 cast
-        # happens on device inside the fused preprocess program)
-        src = dev_data[mi] if dev_data is not None else v.data
+        # bit-packed stored-dtype upload (int16 CT crosses as 12 bits/voxel,
+        # ops/volume_pack.py; the unpack + f32 cast happen on device inside
+        # the fused preprocess program)
+        if dev_data is not None:
+            src, pmeta = dev_data[mi]
+        else:
+            src, pmeta = v.data, {"scheme": "raw", "lo": 0,
+                                  "shape": tuple(v.data.shape)}
         kind, coeffs, out_shape = resample_plan(v.frame, iso_frame, iso_size)
         norm = model.normalizers[mi]
         norm_spec = tuple(sorted(norm.to_dict().items())) \
@@ -342,9 +359,12 @@ def segmentation_one_case(model: SegModel, image_paths, inferer: SlidingWindowIn
         valid_zyx = (int(valid[2]), int(valid[1]), int(valid[0])) \
             if isinstance(norm, AdaptiveNormalizer) else None
         iso = _prep_modality(jnp.asarray(src), jnp.asarray(coeffs),
+                             jnp.asarray(pmeta["lo"], jnp.float32),
                              kind=kind, out_shape=out_shape,
                              interp=model.interpolation, fill=fill_value,
-                             norm_spec=norm_spec, valid_zyx=valid_zyx)
+                             norm_spec=norm_spec, valid_zyx=valid_zyx,
+                             pack_scheme=pmeta["scheme"],
+                             src_shape=tuple(pmeta["shape"]))
         channels.append(iso)
     vol = jnp.stack(channels, axis=-1)  # [D,H,W,C]
 
@@ -462,6 +482,16 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
             except (NotImplementedError, KeyError, AssertionError):
                 _builders[key] = (None, None)
         return _builders[key]
+    # configuration errors that would fail EVERY case are raised before any
+    # result is produced (and before the write-behind thread exists)
+    if spatial_shard:
+        if partition_type != SLAB:
+            raise ValueError("spatial_shard works with SLAB partitioning")
+        if mesh is None:
+            raise ValueError("spatial_shard requires num_devices > 1")
+    if partition_type not in (DISABLE, SIZE, NUM, SLAB):
+        raise NotImplementedError(f"partition_type {partition_type}")
+
     cases = find_cases(input_path)
     os.makedirs(output_dir, exist_ok=True)
     if not cases:
@@ -472,6 +502,30 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     results = []
     failures = []
     writer = _WriteBehind()
+    try:
+        _case_loop(cases, model, mesh, fused_forward_for, partition_type,
+                   partition_size, partition_stride, batch_size, blend,
+                   spatial_shard, shape_bucket, save_image, save_prob,
+                   post_processing, output_dir, seg_name, inferers, results,
+                   failures, writer)
+    finally:
+        # the writer is drained even when the loop is aborted (KeyboardInterrupt,
+        # a config-level error): cases already reported successful must not
+        # silently lose their pending deferred writes
+        for case_name, e in writer.close():
+            print(f"ERROR: writing results of {case_name} failed: {e}")
+            failures.append((case_name, e))
+            results[:] = [r for r in results if r[0] != case_name]
+    if failures and not results:
+        raise failures[0][1]  # everything failed: not a per-case hiccup
+    return results
+
+
+def _case_loop(cases, model, mesh, fused_forward_for, partition_type,
+               partition_size, partition_stride, batch_size, blend,
+               spatial_shard, shape_bucket, save_image, save_prob,
+               post_processing, output_dir, seg_name, inferers, results,
+               failures, writer):
     for image_paths, vols, devs, read_err in _ReadAhead(cases):
         case_name = os.path.basename(image_paths[0])
         for suf in IMAGE_EXTS:
@@ -485,69 +539,69 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
 
         pad_mult = max(model.max_stride, int(shape_bucket or 0))
         v0 = vols[0]
-        if partition_type == DISABLE:
-            # whole padded volume as a single patch
-            from segmentation3d_tpu.ops.geometry import resampled_frame
-            _, iso_size = resampled_frame(
-                v0.frame, v0.size_xyz, model.spacing, pad_mult)
-            patch = tuple(int(s) for s in iso_size[::-1])
-            stride = patch
-        elif partition_type == SIZE:
-            patch = tuple(int(v) for v in np.asarray(partition_size)[::-1])
-            stride = tuple(int(v) for v in np.asarray(partition_stride)[::-1]) \
-                if partition_stride is not None else patch
-        elif partition_type == SLAB:
-            # full-XY slabs overlapping only in z: 2.5x fewer redundant
-            # voxels than 96^3/stride-64 cubes at 512^3 (measured 18.2 vs
-            # 7.1 volumes/min/chip) — the preferred large-volume mode on TPU
-            from segmentation3d_tpu.ops.geometry import resampled_frame
-            _, iso_size = resampled_frame(
-                v0.frame, v0.size_xyz, model.spacing, pad_mult)
-            pz = int(np.asarray(partition_size).reshape(-1)[0]) \
-                if partition_size is not None else 64
-            pz = min(pz, int(iso_size[2]))
-            sz = int(np.asarray(partition_stride).reshape(-1)[0]) \
-                if partition_stride is not None else max(pz - 16, 1)
-            patch = (pz, int(iso_size[1]), int(iso_size[0]))
-            stride = (sz, int(iso_size[1]), int(iso_size[0]))
-            batch_size = 1
-        elif partition_type == NUM:
-            # fixed NUMBER of boxes per axis (reference partition_type='NUM')
-            from segmentation3d_tpu.ops.geometry import (
-                resampled_frame, num_partition_by_size)
-            _, iso_size = resampled_frame(
-                v0.frame, v0.size_xyz, model.spacing, pad_mult)
-            psize, pstride = num_partition_by_size(iso_size, partition_size)
-            ms = model.max_stride
-            psize = (np.ceil(psize / ms) * ms).astype(np.int64)
-            psize = np.minimum(psize, iso_size)
-            patch = tuple(int(v) for v in psize[::-1])
-            stride = tuple(int(v) for v in pstride[::-1])
-        else:
-            raise NotImplementedError(f"partition_type {partition_type}")
-
-        key = (patch, stride)
-        if key not in inferers:
-            apply_fn, apply_vars = fused_forward_for(patch)
-            if spatial_shard:
-                if mesh is None:
-                    raise ValueError("spatial_shard requires num_devices > 1")
-                if partition_type != SLAB:
-                    raise ValueError("spatial_shard works with SLAB partitioning")
-                from segmentation3d_tpu.core.spatial_shard import SpatialShardedInferer
-                inferers[key] = SpatialShardedInferer(
-                    model.net, slab_z=patch[0], num_classes=model.out_channels,
-                    mesh=mesh, stride_z=stride[0], blend=blend,
-                    apply_fn=apply_fn, apply_vars=apply_vars)
-            else:
-                inferers[key] = SlidingWindowInferer(
-                    model.net, patch, model.out_channels,
-                    batch_size=batch_size,
-                    blend=blend if stride != patch else "constant",
-                    apply_fn=apply_fn, mesh=mesh, apply_vars=apply_vars)
-        inferer = inferers[key]
-
         try:
+            from segmentation3d_tpu.ops.geometry import resampled_frame
+            _, iso_size = resampled_frame(
+                v0.frame, v0.size_xyz, model.spacing, pad_mult)
+            if partition_type == DISABLE:
+                # whole padded volume as a single patch
+                patch = tuple(int(s) for s in iso_size[::-1])
+                stride = patch
+            elif partition_type == SIZE:
+                # reference semantics: every volume is resampled + padded so
+                # it FITS its partition (SURVEY §3.2) — a case smaller than
+                # the requested box clamps the box to the (padded) volume
+                # instead of failing that case
+                ms = model.max_stride
+                psize = np.asarray(partition_size, np.int64)
+                psize = (np.ceil(psize / ms) * ms).astype(np.int64)
+                psize = np.minimum(psize, iso_size)
+                pstride = np.asarray(partition_stride, np.int64) \
+                    if partition_stride is not None else psize
+                pstride = np.minimum(pstride, psize)
+                patch = tuple(int(v) for v in psize[::-1])
+                stride = tuple(int(v) for v in pstride[::-1])
+            elif partition_type == SLAB:
+                # full-XY slabs overlapping only in z: 2.5x fewer redundant
+                # voxels than 96^3/stride-64 cubes at 512^3 (measured 18.2 vs
+                # 7.1 volumes/min/chip) — the preferred large-volume mode on TPU
+                pz = int(np.asarray(partition_size).reshape(-1)[0]) \
+                    if partition_size is not None else 64
+                pz = min(pz, int(iso_size[2]))
+                sz = int(np.asarray(partition_stride).reshape(-1)[0]) \
+                    if partition_stride is not None else max(pz - 16, 1)
+                patch = (pz, int(iso_size[1]), int(iso_size[0]))
+                stride = (sz, int(iso_size[1]), int(iso_size[0]))
+                batch_size = 1
+            elif partition_type == NUM:
+                # fixed NUMBER of boxes per axis (reference partition_type='NUM')
+                from segmentation3d_tpu.ops.geometry import num_partition_by_size
+                psize, pstride = num_partition_by_size(iso_size, partition_size)
+                ms = model.max_stride
+                psize = (np.ceil(psize / ms) * ms).astype(np.int64)
+                psize = np.minimum(psize, iso_size)
+                patch = tuple(int(v) for v in psize[::-1])
+                stride = tuple(int(v) for v in pstride[::-1])
+
+            key = (patch, stride)
+            if key not in inferers:
+                apply_fn, apply_vars = fused_forward_for(patch)
+                if spatial_shard:
+                    from segmentation3d_tpu.core.spatial_shard import (
+                        SpatialShardedInferer)
+                    inferers[key] = SpatialShardedInferer(
+                        model.net, slab_z=patch[0],
+                        num_classes=model.out_channels,
+                        mesh=mesh, stride_z=stride[0], blend=blend,
+                        apply_fn=apply_fn, apply_vars=apply_vars)
+                else:
+                    inferers[key] = SlidingWindowInferer(
+                        model.net, patch, model.out_channels,
+                        batch_size=batch_size,
+                        blend=blend if stride != patch else "constant",
+                        apply_fn=apply_fn, mesh=mesh, apply_vars=apply_vars)
+            inferer = inferers[key]
+
             mask_vol, prob_out, native, secs = segmentation_one_case(
                 model, image_paths, inferer, stride_zyx=stride,
                 save_prob=save_prob, post_processing=post_processing,
@@ -570,10 +624,3 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
             continue
         print(f"segmentation of {case_name}: {secs:.2f} s")
         results.append((case_name, secs))
-    for case_name, e in writer.close():
-        print(f"ERROR: writing results of {case_name} failed: {e}")
-        failures.append((case_name, e))
-        results = [r for r in results if r[0] != case_name]
-    if failures and not results:
-        raise failures[0][1]  # everything failed: not a per-case hiccup
-    return results

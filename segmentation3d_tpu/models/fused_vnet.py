@@ -205,14 +205,22 @@ def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
         m = meta[key]
         kind, alpha, cout = m["act"], m["alpha"], m["cout"]
         if m["route"] == "pallas":
-            if x_res is not None:
+            if x.shape[3] >= 8:  # Mosaic kernel needs >= 8 x-positions
+                if x_res is not None:
+                    return thin_conv3d(x.astype(dtype), v["w"], v["b"],
+                                       act=kind, alpha=alpha, out_dtype=dtype,
+                                       interpret=interpret, residual=act_kind,
+                                       res_alpha=m["res_alpha"])
                 return thin_conv3d(x.astype(dtype), v["w"], v["b"], act=kind,
                                    alpha=alpha, out_dtype=dtype,
-                                   interpret=interpret, residual=act_kind,
-                                   res_alpha=m["res_alpha"])
-            return thin_conv3d(x.astype(dtype), v["w"], v["b"], act=kind,
-                               alpha=alpha, out_dtype=dtype,
-                               interpret=interpret)
+                                   interpret=interpret)
+            # thin-width fallback: XLA conv (fv holds the plain folded w/b for
+            # the pallas route), replicating conv+act and the fused residual
+            out = _xla_conv(x, v["w"], v["b"], dtype=dtype)
+            out = _act(out, kind, alpha).astype(dtype)
+            if x_res is not None:
+                out = _act(x_res + out, act_kind, m["res_alpha"]).astype(dtype)
+            return out
         if m["route"] == "window":
             out = window_conv3d_pre(x.astype(dtype), v["mid"], v["left"],
                                     v["right"], v["b"], P=m["P"], cout=cout,

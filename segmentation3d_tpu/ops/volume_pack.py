@@ -1,0 +1,85 @@
+"""Narrow-bit-width packing of stored volumes for the host->device upload.
+
+The end-to-end inference path is H2D-BYTE-BOUND on this host (BASELINE.md:
+the axon relay link moves ~20-25 MB/s and a 384^3 int16 CT is 113 MB, so the
+4.9 s/case steady state IS the transfer). Stored CT is int16 on disk but its
+value RANGE almost always fits 12 bits (HU -1024..3071) — and many masks /
+MR series fit 8. Packing on the read-ahead thread (host numpy, overlapped
+with the transfer of the previous case) and unpacking on device INSIDE the
+already-fused preprocess program (``core.seg_infer._prep_modality`` — no
+extra compiled program, program COUNT is a first-order cost on the relay)
+cuts upload bytes 25% (12-bit) or 50% (8-bit) essentially for free.
+
+Pairs-of-voxels layout for the 12-bit scheme: values ``a, b`` become bytes
+``[a & 0xFF, (a >> 8) | ((b & 0xF) << 4), b >> 4]`` stored as three planes
+``packed[0..2, i]`` so the device unpack is three aligned vector loads.
+
+Schemes:
+  - ``"raw"``: pass-through (float data, or integer range >= 4096);
+  - ``"u8"``: ``uint8(v - lo)``, integer range < 256;
+  - ``"u12"``: the 3-bytes-per-2-voxels layout above, integer range < 4096.
+
+Reference parity note: the reference (SURVEY.md §3.2, ``segmentation3d/
+core/seg_infer.py`` ≈L270-340) reads with SimpleITK and moves float32
+tensors to the GPU over PCIe — transfer packing has no analog there; this
+module exists because the TPU path makes the host link explicit.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+#: integer dtypes eligible for narrow packing
+_INT_DTYPES = (np.int8, np.uint8, np.int16, np.uint16, np.int32, np.uint32)
+
+
+def pack_volume_np(data: np.ndarray):
+    """Pack a stored volume for upload. Returns ``(packed, meta)`` where
+    ``meta = {"scheme", "lo", "shape"}``; ``packed`` is what to
+    ``jax.device_put`` and :func:`unpack_volume` inverts it on device.
+
+    Host cost is a few vector passes over the volume (runs on the read-ahead
+    thread, hidden behind the previous case's transfer)."""
+    shape = tuple(int(s) for s in data.shape)
+    if data.dtype.type not in _INT_DTYPES:
+        return data, {"scheme": "raw", "lo": 0, "shape": shape}
+    lo = int(data.min())
+    span = int(data.max()) - lo  # values fit [0, span]
+    if span < 256:
+        return (data.reshape(-1).astype(np.int32) - lo).astype(np.uint8), \
+            {"scheme": "u8", "lo": lo, "shape": shape}
+    if span < 4096:
+        flat = data.reshape(-1).astype(np.int32) - lo
+        if flat.size % 2:
+            flat = np.concatenate([flat, flat[-1:]])
+        a, b = flat[0::2], flat[1::2]
+        packed = np.empty((3, a.size), np.uint8)
+        packed[0] = a & 0xFF
+        packed[1] = (a >> 8) | ((b & 0xF) << 4)
+        packed[2] = b >> 4
+        return packed, {"scheme": "u12", "lo": lo, "shape": shape}
+    return data, {"scheme": "raw", "lo": 0, "shape": shape}
+
+
+def unpack_volume(packed, *, scheme: str, shape, lo):
+    """Device-side inverse of :func:`pack_volume_np` -> float32 volume.
+
+    Traceable; ``scheme``/``shape`` are static (they fork compilations like
+    any shape does), ``lo`` must be a TRACED scalar so per-case intensity
+    ranges don't fork one program each."""
+    if scheme == "raw":
+        return jnp.asarray(packed).astype(jnp.float32)
+    lo = jnp.asarray(lo, jnp.float32)
+    nvox = 1
+    for s in shape:
+        nvox *= int(s)
+    if scheme == "u8":
+        return packed.reshape(shape).astype(jnp.float32) + lo
+    if scheme == "u12":
+        p = packed.astype(jnp.int32)
+        a = p[0] | ((p[1] & 0xF) << 8)
+        b = (p[1] >> 4) | (p[2] << 4)
+        flat = jnp.stack([a, b], axis=1).reshape(-1)[:nvox]
+        return flat.reshape(shape).astype(jnp.float32) + lo
+    raise ValueError(f"unknown pack scheme {scheme!r}")

@@ -91,6 +91,23 @@ def test_fused_forward_matches_net():
     assert agree > 0.99
 
 
+def test_fused_forward_pallas_thin_width_falls_back():
+    """use_pallas builds must not route widths < 8 into the Mosaic kernel
+    (it needs >= 8 x-positions): a shallow net whose stem sees W=4 still
+    matches the flax forward because run_conv falls back to XLA there."""
+    from segmentation3d_tpu.models.vnet import SegmentationNet
+    from segmentation3d_tpu.models.fused_vnet import build_fused_forward
+    net = SegmentationNet(in_channels=1, out_channels=2, base_channels=4,
+                          down_convs=(1,), up_convs=(1,))
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 4, 1)), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+    ref = net.apply(variables, x, train=False)
+    fused, fv = build_fused_forward(net, variables, dtype=jnp.float32,
+                                    use_pallas=True, interpret=True)
+    out = fused(fv, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.02)
+
+
 @pytest.mark.parametrize("ht", [8, 16])
 def test_parity_h_tiled(ht):
     """Explicit y-tiling (slab-plane mode) matches the untiled kernel/XLA,
