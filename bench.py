@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--fused", default="2", choices=["0", "1", "2"],
                     help="0=flax forward, 1=BN-folded window-conv forward, "
                          "2=packed-domain forward (default)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="wrap one timed rep in jax.profiler.trace(DIR); "
+                         "rank ops with benchmarks/trace_top.py DIR")
     args = ap.parse_args()
 
     import jax
@@ -91,18 +94,35 @@ def main():
         np.asarray(seg[0, 0, :2])  # force completion (relay-safe)
         times.append(time.perf_counter() - t0)
     sec_per_vol = min(times)
+
+    if args.profile:
+        # one traced rep AFTER timing (the profiler works on the relay and
+        # records per-HLO-op device durations + layouts — CLAUDE.md)
+        with jax.profiler.trace(args.profile):
+            seg = inferer(variables, vol, stride_zyx=stride)
+            np.asarray(seg[0, 0, :2])
     vols_per_min = 60.0 / sec_per_vol
 
     n_boxes = len(inferer.boxes_for((size, size, size), stride))
     patch_desc = (f"{args.slab}x{size}x{size} slabs, z-stride {stride[0]}"
                   if args.slab else
                   f"{args.patch}^3 patches, stride {args.stride}")
+    # useful-FLOP accounting: the direct-lowering dense FLOPs of every
+    # executed patch forward (window/packed-GEMM inflation is overhead, not
+    # useful work) against the v5e bf16 peak — so perf regressions are
+    # attributable without re-deriving FLOPs by hand
+    from segmentation3d_tpu.utils.flops import (
+        vnet_forward_flops, TPU_V5E_PEAK_FLOPS)
+    useful = n_boxes * vnet_forward_flops(patch_zyx, 1, args.classes)
+    useful_tflops_per_s = useful / sec_per_vol / 1e12
     result = {
         "metric": f"{size}^3 CT sliding-window segmentation throughput "
                   f"({patch_desc}, {n_boxes} patches, {args.dtype})",
         "value": round(vols_per_min, 3),
         "unit": "volumes/min/chip",
         "vs_baseline": round(vols_per_min / 20.0, 3),
+        "useful_tflops_per_s": round(useful_tflops_per_s, 2),
+        "mfu": round(useful_tflops_per_s * 1e12 / TPU_V5E_PEAK_FLOPS, 4),
     }
     print(json.dumps(result))
 
