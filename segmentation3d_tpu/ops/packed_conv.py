@@ -163,10 +163,15 @@ def window_kernels(w, P: int):
     Window index ``j`` of packed column q reads input x = qP + j - 1
     (j in [0, P+2)). The packed view ``xp`` (a FREE reshape) holds taps
     j=1..P at channel block j-1; the two halo taps (j=0 / j=P+1) come from
-    1/P-size column-shifted slices. ``mid``: [3,3,1,P*Cin,P*Cout] with
+    1/P-size lane slices of the neighbour column. ``mid``:
+    [3,3,1,P*Cin,P*Cout] with
     ``mid[dz,dy,0,(j-1)*Cin+ci, xo*Cout+co] = w[dz,dy,j-xo,ci,co]``;
-    ``left``/``right``: [3,3,1,Cin,P*Cout] nonzero only in output block
-    xo=0 (tap dx=0) / xo=P-1 (tap dx=2).
+    ``left``/``right``: NARROW [3,3,1,Cin,Cout] kernels (= ``w[:,:,0]`` /
+    ``w[:,:,2]``) whose single-block output is added into output block
+    xo=0 / xo=P-1 by :func:`window_conv_packed`. (Round-2 shipped them as
+    [3,3,1,Cin,P*Cout] with P-1 zero blocks: each halo conv then wrote a
+    FULL-size f32 tensor that was 1/P useful — profiled at ~40 ms/volume
+    of pure zero traffic on the 512^3 slab headline.)
     """
     kd, kh, kw, cin, cout = w.shape
     assert (kd, kh, kw) == (3, 3, 3)
@@ -177,11 +182,7 @@ def window_kernels(w, P: int):
             if 1 <= j <= P:
                 mid = mid.at[:, :, 0, (j - 1) * cin:j * cin,
                              xo * cout:(xo + 1) * cout].set(w[:, :, dx])
-    left = jnp.zeros((3, 3, 1, cin, P * cout), w.dtype)
-    left = left.at[:, :, 0, :, :cout].set(w[:, :, 0])
-    right = jnp.zeros((3, 3, 1, cin, P * cout), w.dtype)
-    right = right.at[:, :, 0, :, (P - 1) * cout:].set(w[:, :, 2])
-    return mid, left, right
+    return mid, w[:, :, 0:1], w[:, :, 2:3]
 
 
 def window_kernels_np(w: np.ndarray, P: int):
@@ -195,11 +196,7 @@ def window_kernels_np(w: np.ndarray, P: int):
             if 1 <= j <= P:
                 mid[:, :, 0, (j - 1) * cin:j * cin,
                     xo * cout:(xo + 1) * cout] = w[:, :, dx]
-    left = np.zeros((3, 3, 1, cin, P * cout), w.dtype)
-    left[:, :, 0, :, :cout] = w[:, :, 0]
-    right = np.zeros((3, 3, 1, cin, P * cout), w.dtype)
-    right[:, :, 0, :, (P - 1) * cout:] = w[:, :, 2]
-    return mid, left, right
+    return mid, w[:, :, 0:1].copy(), w[:, :, 2:3].copy()
 
 
 @functools.partial(jax.jit, static_argnames=("P", "out_dtype"))
@@ -242,24 +239,36 @@ def window_conv_packed(xp, mid, wl, wr, bp=None, *, P: int, cin: int,
     leave the channels-minor packed layout between ops.
 
     Decomposes into THREE convs: the bulk on the packed view (taps
-    j=1..P; no input copy at all), plus two 1/P-size halo convs. Never
-    materializes a full unfolded copy — a single-conv formulation with a
-    concatenated [.., (P+2)*Cin] input OOMed the 512^3 slab program (XLA
-    rematerializes the big temporary with 8-16x tile-padded layouts)."""
+    j=1..P; no input copy at all), plus two 1/P-size halo convs on lane
+    slices of the neighbour column. The halo kernels are NARROW
+    [3,3,1,Cin,Cout] (see :func:`window_kernels`); their single-block f32
+    outputs are channel-padded into blocks xo=0 / xo=P-1 (a fused
+    pad-of-zeros + add — never a full-size halo conv output). The column
+    shift rides the conv's x padding ((1,-1) / (-1,1)) instead of an
+    explicit pad: round-2's slice+pad of the big tensor made XLA relayout
+    the ENTIRE activation before slicing (~100 ms/volume of copies on the
+    512^3 slab headline, `copy_bitcast_fusion`+`slice`+`pad` in the
+    profile). Never materializes a full unfolded copy — a single-conv
+    formulation with a concatenated [.., (P+2)*Cin] input OOMed the 512^3
+    slab program (XLA rematerializes the big temporary with 8-16x
+    tile-padded layouts)."""
     cdtype = jnp.float32 if xp.dtype == jnp.float32 else jnp.bfloat16
     xp = xp.astype(cdtype)
-    pad5 = ((0, 0), (0, 0), (0, 0))
-    l = jnp.pad(xp[:, :, :, :-1, (P - 1) * cin:], pad5 + ((1, 0), (0, 0)))
-    r = jnp.pad(xp[:, :, :, 1:, :cin], pad5 + ((0, 1), (0, 0)))
+    cout = wl.shape[-1]
 
     zy_same = ((1, 1), (1, 1), (0, 0))
     dn = ("NDHWC", "DHWIO", "NDHWC")
     out = _conv_f32(xp, mid.astype(cdtype), (1, 1, 1), zy_same, dn,
                     grad_safe)                    # [B,D,H,cols,P*cout]
-    out = out + _conv_f32(l, wl.astype(cdtype), (1, 1, 1), zy_same, dn,
-                          grad_safe)
-    out = out + _conv_f32(r, wr.astype(cdtype), (1, 1, 1), zy_same, dn,
-                          grad_safe)
+    # left halo: output col q reads col q-1's lane P-1 (x pad (1,-1));
+    # right halo: col q+1's lane 0 (x pad (-1,1)); zero-extended at edges
+    lc = _conv_f32(xp[..., (P - 1) * cin:], wl.astype(cdtype), (1, 1, 1),
+                   ((1, 1), (1, 1), (1, -1)), dn, grad_safe)
+    rc = _conv_f32(xp[..., :cin], wr.astype(cdtype), (1, 1, 1),
+                   ((1, 1), (1, 1), (-1, 1)), dn, grad_safe)
+    pad4 = ((0, 0),) * 4
+    out = out + jnp.pad(lc, pad4 + ((0, (P - 1) * cout),))
+    out = out + jnp.pad(rc, pad4 + (((P - 1) * cout, 0),))
     if bp is not None:
         out = out + bp.astype(jnp.float32).reshape(1, 1, 1, 1, -1)
     return out
