@@ -150,40 +150,62 @@ import threading as _threading
 
 
 class _ReadAhead:
-    """Background-thread case reader: host file I/O of case N+1 overlaps the
-    device compute of case N.
+    """Background case reader as a TWO-STAGE pipeline on separate threads:
+
+      decode thread:  file read + gzip decode + bit-pack     (~1.3 s/case)
+      upload thread:  ``jax.device_put`` of the packed data  (~3.5 s/case —
+                      the axon link moves ~20-25 MB/s, measured)
+
+    so the decode of case N+2, the upload of case N+1 and the device compute
+    of case N all overlap. With both stages on ONE thread (round 2) the
+    steady state was their SUM (4.9 s/case measured for 384^3 int16
+    .nii.gz); pipelined it is max(stage) — the H2D transfer (BASELINE.md
+    round-3 e2e row).
 
     Volumes are read in their STORED dtype (CT is almost always int16 on
-    disk), bit-packed to the value range's width (``ops.volume_pack``:
-    int16 CT fits 12 bits -> 25% fewer bytes, 8-bit data -> 50%), and
-    ``jax.device_put`` is issued from this thread, so the host->device
-    transfer (the axon link moves ~20-25 MB/s — measured) starts early and
-    moves the minimum bytes. ``devs`` holds ``(device_array, pack_meta)``
-    pairs; the host numpy stays available for ``save_image``."""
+    disk) and bit-packed to the value range's width (``ops.volume_pack``:
+    int16 CT fits 12 bits -> 25% fewer bytes, 8-bit data -> 50%) so the
+    transfer moves the minimum bytes. ``devs`` holds ``(device_array,
+    pack_meta)`` pairs; the host numpy stays available for ``save_image``."""
 
     def __init__(self, cases, depth=2, to_device=True):
         self.q = _queue.Queue(maxsize=max(1, depth))
-        self._t = _threading.Thread(target=self._run,
-                                    args=(list(cases), to_device),
-                                    daemon=True)
-        self._t.start()
+        self._uq = _queue.Queue(maxsize=1)
+        self._dt = _threading.Thread(target=self._decode,
+                                     args=(list(cases), to_device),
+                                     daemon=True)
+        self._ut = _threading.Thread(target=self._upload, daemon=True)
+        self._dt.start()
+        self._ut.start()
 
-    def _run(self, cases, to_device):
-        import jax
+    def _decode(self, cases, to_device):
         for image_paths in cases:
             try:
                 vols = [read_image(p) for p in image_paths]
-                devs = None
+                packed = None
                 if to_device:
                     from segmentation3d_tpu.ops.volume_pack import pack_volume_np
-                    devs = []
-                    for v in vols:
-                        packed, meta = pack_volume_np(v.data)
-                        devs.append((jax.device_put(packed), meta))
-                self.q.put((image_paths, vols, devs, None))
+                    packed = [pack_volume_np(v.data) for v in vols]
+                self._uq.put((image_paths, vols, packed, None))
             except Exception as e:  # surface the error at consumption time
-                self.q.put((image_paths, None, None, e))
-        self.q.put(None)
+                self._uq.put((image_paths, None, None, e))
+        self._uq.put(None)
+
+    def _upload(self):
+        import jax
+        while True:
+            item = self._uq.get()
+            if item is None:
+                self.q.put(None)
+                return
+            image_paths, vols, packed, err = item
+            devs = None
+            if err is None and packed is not None:
+                try:
+                    devs = [(jax.device_put(p), meta) for p, meta in packed]
+                except Exception as e:  # surfaced at consumption time
+                    err = e
+            self.q.put((image_paths, vols, devs, err))
 
     def __iter__(self):
         return self
