@@ -1,4 +1,7 @@
-"""First-party NIfTI-1 reader/writer (.nii / .nii.gz), numpy-only.
+"""First-party NIfTI-1 + Analyze 7.5 reader/writer, numpy-only.
+
+Covers ``.nii`` / ``.nii.gz`` single files and the two-file ``.hdr``/``.img``
+pair family (NIfTI-1 "ni1" pairs and plain Analyze 7.5 headers).
 
 Replaces the reference's SimpleITK ``ReadImage``/``WriteImage`` for NIfTI
 (``utils/image_tools.py`` usage throughout). Supports the scalar 3D volumes
@@ -43,73 +46,151 @@ def _open(path, mode="rb"):
     return open(path, mode)
 
 
-def read_nifti(path):
-    """Read a .nii/.nii.gz file -> (data [z,y,x] (or [...,t] squeezed), Frame)."""
-    with _open(path, "rb") as f:
-        hdr = f.read(348)
+class _Hdr:
+    """Parsed 348-byte NIfTI-1 / Analyze 7.5 header (field subset we use)."""
+
+    def __init__(self, hdr: bytes, path):
         if len(hdr) < 348:
-            raise ValueError(f"{path}: truncated NIfTI header")
+            raise ValueError(f"{path}: truncated NIfTI/Analyze header")
         sizeof_hdr = struct.unpack("<i", hdr[0:4])[0]
         endian = "<"
         if sizeof_hdr != 348:
             sizeof_hdr = struct.unpack(">i", hdr[0:4])[0]
             if sizeof_hdr != 348:
-                raise ValueError(f"{path}: not a NIfTI-1 file")
+                raise ValueError(f"{path}: not a NIfTI-1/Analyze file")
             endian = ">"
-        magic = hdr[344:348]
-        if magic[:2] not in (b"n+", b"ni"):
-            raise ValueError(f"{path}: bad NIfTI magic {magic!r}")
+        self.endian = endian
+        self.magic = hdr[344:348]
+        # b"n+1\0" = single file, b"ni1\0" = .hdr/.img pair, anything else
+        # (usually zeros) = plain Analyze 7.5
+        self.is_nifti = self.magic[:2] in (b"n+", b"ni")
         dim = struct.unpack(endian + "8h", hdr[40:56])
         ndim = dim[0]
-        shape_fortran = [max(1, d) for d in dim[1:1 + ndim]]  # (ni, nj, nk, ...)
-        datatype = struct.unpack(endian + "h", hdr[70:72])[0]
+        if not 1 <= ndim <= 7:
+            raise ValueError(f"{path}: bad header dim[0]={ndim}")
+        self.shape_fortran = [max(1, d) for d in dim[1:1 + ndim]]
+        self.datatype = struct.unpack(endian + "h", hdr[70:72])[0]
         bitpix = struct.unpack(endian + "h", hdr[72:74])[0]
-        pixdim = struct.unpack(endian + "8f", hdr[76:108])
-        vox_offset = struct.unpack(endian + "f", hdr[108:112])[0]
-        scl_slope = struct.unpack(endian + "f", hdr[112:116])[0]
-        scl_inter = struct.unpack(endian + "f", hdr[116:120])[0]
-        qform_code = struct.unpack(endian + "h", hdr[252:254])[0]
-        sform_code = struct.unpack(endian + "h", hdr[254:256])[0]
-        quats = struct.unpack(endian + "6f", hdr[256:280])
-        srow = np.array(struct.unpack(endian + "12f", hdr[280:328])).reshape(3, 4)
+        self.pixdim = struct.unpack(endian + "8f", hdr[76:108])
+        self.vox_offset = struct.unpack(endian + "f", hdr[108:112])[0]
+        if self.is_nifti:
+            self.scl_slope = struct.unpack(endian + "f", hdr[112:116])[0]
+            self.scl_inter = struct.unpack(endian + "f", hdr[116:120])[0]
+            self.qform_code = struct.unpack(endian + "h", hdr[252:254])[0]
+            self.sform_code = struct.unpack(endian + "h", hdr[254:256])[0]
+            self.quats = struct.unpack(endian + "6f", hdr[256:280])
+            self.srow = np.array(
+                struct.unpack(endian + "12f", hdr[280:328])).reshape(3, 4)
+        else:
+            # Analyze 7.5: those bytes are funused/descrip fields. SPM abuses
+            # funused1 as a scale factor but ITK ignores it; so do we.
+            self.scl_slope, self.scl_inter = 1.0, 0.0
+            self.qform_code = self.sform_code = 0
+            self.quats, self.srow = None, None
+        if self.datatype not in _DTYPES:
+            raise ValueError(
+                f"{path}: unsupported NIfTI/Analyze datatype {self.datatype}")
+        self.dtype = np.dtype(_DTYPES[self.datatype]).newbyteorder(endian)
+        if self.dtype.itemsize * 8 != bitpix:
+            raise ValueError(
+                f"{path}: bitpix {bitpix} mismatches datatype {self.datatype}")
 
-        if datatype not in _DTYPES:
-            raise ValueError(f"{path}: unsupported NIfTI datatype {datatype}")
-        dt = np.dtype(_DTYPES[datatype]).newbyteorder(endian)
-        if dt.itemsize * 8 != bitpix:
-            raise ValueError(f"{path}: bitpix {bitpix} mismatches datatype {datatype}")
+    def read_data(self, f, path, offset=None) -> np.ndarray:
+        """Read + scale the pixel block from ``f`` -> C-order [z,y,x] array."""
+        f.seek(int(self.vox_offset if offset is None else offset))
+        count = int(np.prod(self.shape_fortran))
+        raw = f.read(count * self.dtype.itemsize)
+        data = np.frombuffer(raw, dtype=self.dtype, count=count)
+        # Fortran order on disk (i fastest) -> C array indexed [..., k, j, i]
+        data = data.reshape(self.shape_fortran[::-1])
+        # squeeze trailing singleton time/vector dims down to 3D if possible
+        while data.ndim > 3 and data.shape[0] == 1:
+            data = data[0]
+        data = np.ascontiguousarray(data.astype(data.dtype.newbyteorder("=")))
+        if self.scl_slope not in (0.0, 1.0) or self.scl_inter != 0.0:
+            slope = self.scl_slope if self.scl_slope != 0.0 else 1.0
+            data = data.astype(np.float32) * slope + self.scl_inter
+        return data
 
-        f.seek(int(vox_offset))
-        count = int(np.prod(shape_fortran))
-        raw = f.read(count * dt.itemsize)
-        data = np.frombuffer(raw, dtype=dt, count=count)
+    def frame(self) -> Frame:
+        """LPS frame: sform, then qform, then pixdim-only (Analyze)."""
+        if not self.is_nifti:
+            # plain Analyze 7.5 has no affine and no RAS convention to flip:
+            # pixdim spacing, identity direction, origin 0 (the reference's
+            # SimpleITK behavior for legacy Analyze files)
+            sp = np.array([self.pixdim[1] or 1.0, self.pixdim[2] or 1.0,
+                           self.pixdim[3] or 1.0])
+            return Frame(np.zeros(3), sp, np.eye(3))
+        if self.sform_code > 0:
+            aff_ras = np.eye(4)
+            aff_ras[:3, :] = self.srow
+        elif self.qform_code > 0:
+            aff_ras = _qform_affine(self.quats, self.pixdim)
+        else:
+            aff_ras = np.diag([self.pixdim[1] or 1.0, self.pixdim[2] or 1.0,
+                               self.pixdim[3] or 1.0, 1.0])
+        m_lps = _RAS2LPS @ aff_ras[:3, :3]
+        origin = _RAS2LPS @ aff_ras[:3, 3]
+        spacing = np.linalg.norm(m_lps, axis=0)
+        spacing[spacing == 0] = 1.0
+        direction = m_lps / spacing
+        return Frame(origin, spacing, direction)
 
-    # Fortran order on disk (i fastest) -> C array indexed [..., k, j, i]
-    data = data.reshape(shape_fortran[::-1])
-    # squeeze trailing singleton time/vector dims down to 3D where possible
-    while data.ndim > 3 and data.shape[0] == 1:
-        data = data[0]
-    data = np.ascontiguousarray(data.astype(data.dtype.newbyteorder("=")))
 
-    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
-        slope = scl_slope if scl_slope != 0.0 else 1.0
-        data = data.astype(np.float32) * slope + scl_inter
+def read_nifti(path):
+    """Read a .nii/.nii.gz file -> (data [z,y,x] (or [...,t] squeezed), Frame)."""
+    with _open(path, "rb") as f:
+        h = _Hdr(f.read(348), path)
+        if not h.is_nifti:
+            raise ValueError(f"{path}: bad NIfTI magic {h.magic!r}")
+        if h.magic[:2] == b"ni":
+            raise ValueError(
+                f"{path}: two-file NIfTI pair header — read the .hdr via "
+                "read_hdr_img")
+        data = h.read_data(f, path)
+    return data, h.frame()
 
-    # affine: prefer sform, then qform, then pixdim-only
-    if sform_code > 0:
-        aff_ras = np.eye(4)
-        aff_ras[:3, :] = srow
-    elif qform_code > 0:
-        aff_ras = _qform_affine(quats, pixdim)
+
+def _pair_paths(path):
+    """(.hdr path, .img path) for any of .hdr/.img/.img.gz inputs; the .img
+    side resolves to whichever of .img / .img.gz exists (for reads)."""
+    p = str(path)
+    low = p.lower()
+    if low.endswith(".hdr"):
+        base = p[:-4]
+    elif low.endswith(".img.gz"):
+        base = p[:-7]
+    elif low.endswith(".img"):
+        base = p[:-4]
     else:
-        aff_ras = np.diag([pixdim[1] or 1.0, pixdim[2] or 1.0, pixdim[3] or 1.0, 1.0])
+        raise ValueError(f"not an Analyze pair path: {path}")
+    hdr_path = base + ".hdr"
+    img_path = base + ".img"
+    if not os.path.exists(img_path) and os.path.exists(img_path + ".gz"):
+        img_path += ".gz"
+    return hdr_path, img_path
 
-    m_lps = _RAS2LPS @ aff_ras[:3, :3]
-    origin = _RAS2LPS @ aff_ras[:3, 3]
-    spacing = np.linalg.norm(m_lps, axis=0)
-    spacing[spacing == 0] = 1.0
-    direction = m_lps / spacing
-    return data, Frame(origin, spacing, direction)
+
+def read_hdr_img(path):
+    """Read a two-file .hdr/.img volume (NIfTI-1 "ni1" pair or plain Analyze
+    7.5) -> (data [z,y,x], Frame). ``path`` may name either file; a
+    gzip-compressed ``.img.gz`` data file is found automatically.
+
+    Plain Analyze headers carry no orientation/origin (the SPM originator
+    convention is nonstandard and ITK ignores it) — those get spacing from
+    pixdim with identity direction and origin 0, like the reference's
+    SimpleITK reader."""
+    hdr_path, img_path = _pair_paths(path)
+    with _open(hdr_path, "rb") as f:
+        h = _Hdr(f.read(348), hdr_path)
+    if h.magic[:2] == b"n+":
+        raise ValueError(f"{hdr_path}: single-file NIfTI magic in a .hdr")
+    if not os.path.exists(img_path):
+        raise FileNotFoundError(f"{hdr_path}: data file {img_path} not found")
+    with _open(img_path, "rb") as f:
+        # data starts at 0 in the .img file; vox_offset is for single-file
+        data = h.read_data(f, img_path, offset=0)
+    return data, h.frame()
 
 
 def _qform_affine(quats, pixdim):
@@ -128,17 +209,9 @@ def _qform_affine(quats, pixdim):
     return aff
 
 
-def write_nifti(path, data, frame: Frame):
-    """Write a 3D ``[z,y,x]`` array + LPS Frame as NIfTI-1 (sform, RAS)."""
-    data = np.asarray(data)
-    if data.ndim != 3:
-        raise ValueError(f"write_nifti expects 3D [z,y,x], got {data.shape}")
-    if data.dtype == np.bool_:
-        data = data.astype(np.uint8)
-    if data.dtype not in _CODES:
-        data = data.astype(np.float32)
+def _build_hdr(data, frame: Frame, magic: bytes, vox_offset: float):
+    """348-byte little-endian NIfTI-1 header (sform, RAS) for ``data``."""
     dt = np.dtype(data.dtype)
-
     m_lps = frame.direction @ np.diag(frame.spacing)
     m_ras = _RAS2LPS @ m_lps
     origin_ras = _RAS2LPS @ frame.origin
@@ -149,19 +222,61 @@ def write_nifti(path, data, frame: Frame):
     struct.pack_into("<8h", hdr, 40, 3, nx, ny, nz, 1, 1, 1, 1)
     struct.pack_into("<h", hdr, 70, _CODES[dt])
     struct.pack_into("<h", hdr, 72, dt.itemsize * 8)
-    struct.pack_into("<8f", hdr, 76, 1.0, *[float(s) for s in frame.spacing], 1.0, 1.0, 1.0, 1.0)
-    struct.pack_into("<f", hdr, 108, 352.0)  # vox_offset
+    struct.pack_into("<8f", hdr, 76, 1.0,
+                     *[float(s) for s in frame.spacing], 1.0, 1.0, 1.0, 1.0)
+    struct.pack_into("<f", hdr, 108, vox_offset)
     struct.pack_into("<f", hdr, 112, 1.0)    # scl_slope
     struct.pack_into("<f", hdr, 116, 0.0)    # scl_inter
     struct.pack_into("<h", hdr, 252, 0)      # qform_code
-    struct.pack_into("<h", hdr, 254, 1)      # sform_code = NIFTI_XFORM_SCANNER_ANAT
+    struct.pack_into("<h", hdr, 254, 1)      # sform_code = SCANNER_ANAT
     srow = np.zeros((3, 4), np.float64)
     srow[:, :3] = m_ras
     srow[:, 3] = origin_ras
     struct.pack_into("<12f", hdr, 280, *srow.reshape(-1).astype(np.float32))
-    hdr[344:348] = b"n+1\x00"
+    hdr[344:348] = magic
+    return bytes(hdr)
 
+
+def _writable(data) -> np.ndarray:
+    data = np.asarray(data)
+    if data.ndim != 3:
+        raise ValueError(f"expected 3D [z,y,x] volume, got {data.shape}")
+    if data.dtype == np.bool_:
+        data = data.astype(np.uint8)
+    if data.dtype not in _CODES:
+        data = data.astype(np.float32)
+    return data
+
+
+def write_nifti(path, data, frame: Frame):
+    """Write a 3D ``[z,y,x]`` array + LPS Frame as NIfTI-1 (sform, RAS)."""
+    data = _writable(data)
+    hdr = _build_hdr(data, frame, b"n+1\x00", 352.0)
     with _open(path, "wb") as f:
-        f.write(bytes(hdr))
+        f.write(hdr)
         f.write(b"\x00" * 4)  # extension flag padding to vox_offset 352
+        f.write(np.ascontiguousarray(data).tobytes())
+
+
+def write_hdr_img(path, data, frame: Frame):
+    """Write a two-file .hdr/.img pair (NIfTI-1 "ni1" header, so orientation
+    survives — the same flavor ITK's NiftiImageIO emits for .hdr paths;
+    plain-Analyze consumers still read it as Analyze since the layout is
+    identical). ``path`` may name the .hdr, .img, or .img.gz side; naming
+    ``.img.gz`` gzips the data file."""
+    data = _writable(data)
+    p = str(path)
+    gz_img = p.lower().endswith(".img.gz")
+    if p.lower().endswith(".hdr"):
+        base = p[:-4]
+    elif gz_img:
+        base = p[:-7]
+    elif p.lower().endswith(".img"):
+        base = p[:-4]
+    else:
+        raise ValueError(f"not an Analyze pair path: {path}")
+    hdr = _build_hdr(data, frame, b"ni1\x00", 0.0)
+    with open(base + ".hdr", "wb") as f:
+        f.write(hdr)
+    with _open(base + (".img.gz" if gz_img else ".img"), "wb") as f:
         f.write(np.ascontiguousarray(data).tobytes())

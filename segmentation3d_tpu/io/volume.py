@@ -34,17 +34,17 @@ class Volume:
         return Volume(self.data.astype(dtype), self.frame)
 
 
-# single-file NIfTI-1 only; two-file .hdr/.img ANALYZE pairs are NOT
-# supported (reading a .hdr would miss the pixel data in the .img, and
-# writing would emit a malformed n+1 single file under a .hdr name)
 _NIFTI_EXTS = (".nii", ".nii.gz")
 _MHA_EXTS = (".mha", ".mhd")
+# two-file pairs: NIfTI-1 "ni1" or plain Analyze 7.5 headers (io.nifti)
+_PAIR_EXTS = (".hdr", ".img", ".img.gz")
 
 
 def _ext(path: str) -> str:
     p = str(path).lower()
-    if p.endswith(".nii.gz"):
-        return ".nii.gz"
+    for multi in (".nii.gz", ".img.gz"):
+        if p.endswith(multi):
+            return multi
     return os.path.splitext(p)[1]
 
 
@@ -55,6 +55,8 @@ def read_image(path, dtype=None) -> Volume:
         data, frame = nifti.read_nifti(path)
     elif ext in _MHA_EXTS:
         data, frame = mha.read_mha(path)
+    elif ext in _PAIR_EXTS:
+        data, frame = nifti.read_hdr_img(path)
     elif os.path.isdir(path):
         from segmentation3d_tpu.io import dicom
         data, frame = dicom.read_dicom_series(path)
@@ -73,5 +75,7 @@ def write_image(vol: Volume, path) -> None:
         nifti.write_nifti(path, vol.data, vol.frame)
     elif ext in _MHA_EXTS:
         mha.write_mha(path, vol.data, vol.frame)
+    elif ext in _PAIR_EXTS:
+        nifti.write_hdr_img(path, vol.data, vol.frame)
     else:
         raise ValueError(f"unsupported image format: {path}")

@@ -64,3 +64,62 @@ def test_compressed_mha(tmp_path):
     data, frame = read_mha(tmp_path / "c.mha")
     np.testing.assert_array_equal(data, v.data)
     assert frame.isclose(v.frame, tol=1e-6)
+
+
+@pytest.mark.parametrize("name", ["p.hdr", "p.img", "p.img.gz"])
+@pytest.mark.parametrize("dtype", [np.float32, np.int16])
+def test_hdr_img_pair_roundtrip(tmp_path, name, dtype):
+    """Two-file .hdr/.img pairs (NIfTI-1 'ni1' flavor): write via any of the
+    three path spellings, read back via either side, frame preserved."""
+    v = _vol(dtype)
+    write_image(v, tmp_path / name)
+    assert (tmp_path / "p.hdr").exists()
+    img = "p.img.gz" if name.endswith(".gz") else "p.img"
+    assert (tmp_path / img).exists()
+    for side in ("p.hdr", img):
+        v2 = read_image(tmp_path / side)
+        assert v2.data.dtype == np.dtype(dtype)
+        np.testing.assert_array_equal(v2.data, v.data)
+        assert v2.frame.isclose(v.frame, tol=1e-4)
+
+
+def test_hdr_img_pair_direction(tmp_path):
+    """ni1 pairs carry the full sform: a rotated frame survives."""
+    rng = np.random.default_rng(3)
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    v = Volume(rng.normal(size=(4, 5, 6)).astype(np.float32),
+               Frame(origin=(0, 1, 2), spacing=(1, 2, 3), direction=q))
+    write_image(v, tmp_path / "d.hdr")
+    v2 = read_image(tmp_path / "d.hdr")
+    assert v2.frame.isclose(v.frame, tol=1e-4)
+    np.testing.assert_allclose(v2.data, v.data)
+
+
+def test_plain_analyze75_read(tmp_path):
+    """A plain Analyze 7.5 header (zero magic, no sform/qform) reads with
+    pixdim spacing, identity direction, origin 0 — the reference
+    (SimpleITK) behavior for legacy Analyze files."""
+    import struct
+    rng = np.random.default_rng(7)
+    data = rng.integers(-200, 300, size=(3, 4, 5)).astype(np.int16)
+    hdr = bytearray(348)
+    struct.pack_into("<i", hdr, 0, 348)
+    struct.pack_into("<8h", hdr, 40, 3, 5, 4, 3, 1, 1, 1, 1)  # nx,ny,nz
+    struct.pack_into("<h", hdr, 70, 4)   # int16
+    struct.pack_into("<h", hdr, 72, 16)  # bitpix
+    struct.pack_into("<8f", hdr, 76, 1.0, 0.5, 0.75, 2.0, 1.0, 1.0, 1.0, 1.0)
+    (tmp_path / "a.hdr").write_bytes(bytes(hdr))  # magic stays zeros
+    (tmp_path / "a.img").write_bytes(data.tobytes())
+    v = read_image(tmp_path / "a.hdr")
+    np.testing.assert_array_equal(v.data, data)
+    np.testing.assert_allclose(v.frame.spacing, (0.5, 0.75, 2.0))
+    np.testing.assert_allclose(v.frame.direction, np.eye(3))
+    np.testing.assert_allclose(v.frame.origin, (0, 0, 0))
+
+
+def test_hdr_missing_img_errors(tmp_path):
+    v = _vol(np.int16)
+    write_image(v, tmp_path / "m.hdr")
+    (tmp_path / "m.img").unlink()
+    with pytest.raises(FileNotFoundError):
+        read_image(tmp_path / "m.hdr")
