@@ -63,10 +63,12 @@ total = float(jax.jit(lambda v: v.sum())(x))
 assert total == 2.0 * nd, total
 print("DIST-OK")
 """
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTEST_CURRENT_TEST")}
+    # _clean_env: the axon sitecustomize on PYTHONPATH would register the
+    # TPU PJRT plugin at interpreter start — with the relay unreachable that
+    # HANGS the child before its os.environ overrides can run (hit live
+    # during a round-3 relay outage: 900 s timeout instead of 20 s pass).
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=900, env=env)
+                         text=True, timeout=900, env=_clean_env(4))
     assert "DIST-OK" in out.stdout, out.stdout + out.stderr
 
 

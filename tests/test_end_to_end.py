@@ -365,3 +365,40 @@ def test_validation_during_training(tmp_path):
     # foreground class; for 2 classes val_dice == dice_c1)
     assert "dice_c1" in rows[-1]
     assert float(rows[-1]["dice_c1"]) == float(rows[-1]["val_dice"])
+
+
+def test_readahead_upload_failure_isolated(tmp_path, monkeypatch):
+    """A device_put failure in the UPLOAD stage of the two-stage read-ahead
+    pipeline surfaces as that case's error at consumption time — later
+    cases still stream (round-3: decode and upload run on separate
+    threads; an upload error must not wedge either queue)."""
+    import numpy as np
+    import jax
+    from segmentation3d_tpu.io import Volume, write_image
+    from segmentation3d_tpu.ops.geometry import Frame
+    from segmentation3d_tpu.core.seg_infer import _ReadAhead
+
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"v{i}.nii.gz"
+        write_image(Volume(np.full((4, 4, 4), i, np.int16),
+                           Frame.identity()), p)
+        paths.append([str(p)])
+
+    real = jax.device_put
+    state = {"n": 0}
+
+    def flaky(x, *a, **k):
+        state["n"] += 1
+        if state["n"] == 2:  # one modality per case -> call 2 == case 2
+            raise RuntimeError("h2d failed")
+        return real(x, *a, **k)
+
+    monkeypatch.setattr(jax, "device_put", flaky)
+    got = list(_ReadAhead(paths))
+    assert len(got) == 3
+    errs = [e for _, _, _, e in got]
+    assert errs[0] is None and errs[2] is None
+    assert isinstance(errs[1], RuntimeError)
+    assert got[0][2] is not None and got[2][2] is not None  # devs present
+    assert [p[0] for p, _, _, _ in got] == [c[0] for c in paths]  # in order
