@@ -124,21 +124,14 @@ def segment_case_coarse_to_fine(
     return Volume(out_mask, native.frame), time.time() - t0, roi
 
 
-def segmentation_coarse_to_fine(
-        input_path, coarse_model_dir, fine_model_dir, output_dir,
-        seg_name="seg.mha", partition_size=(96, 96, 96),
-        partition_stride=None, batch_size=8, margin_mm=16.0,
-        dtype=jnp.float32, save_image=False):
-    """Batch driver mirroring ``core.seg_infer.segmentation`` for the
-    two-pass pipeline."""
+_C2F_SESSIONS: dict = {}
+
+
+def _build_c2f_session(coarse_model_dir, fine_model_dir, dtype, patch,
+                       stride, batch_size):
+    """Load both models, attach fused forwards, build the fine inferer."""
     coarse = load_seg_model(coarse_model_dir, dtype=dtype)
     fine = load_seg_model(fine_model_dir, dtype=dtype)
-    cases = find_cases(input_path)
-    os.makedirs(output_dir, exist_ok=True)
-
-    patch = tuple(int(v) for v in np.asarray(partition_size)[::-1])
-    stride = tuple(int(v) for v in np.asarray(partition_stride)[::-1]) \
-        if partition_stride is not None else patch
 
     def attach_fused(model, patch_w):
         """Attach the packed-domain (or window) fused forward to a SegModel
@@ -170,7 +163,41 @@ def segmentation_coarse_to_fine(
         blend="gaussian" if stride != patch else "constant",
         apply_fn=getattr(fine, "fused_apply", None),
         apply_vars=getattr(fine, "fused_vars", None))
-    coarse_cache = {}
+    return {"coarse": coarse, "fine": fine, "fine_inferer": fine_inferer,
+            "coarse_cache": {}}
+
+
+def segmentation_coarse_to_fine(
+        input_path, coarse_model_dir, fine_model_dir, output_dir,
+        seg_name="seg.mha", partition_size=(96, 96, 96),
+        partition_stride=None, batch_size=8, margin_mm=16.0,
+        dtype=jnp.float32, save_image=False):
+    """Batch driver mirroring ``core.seg_infer.segmentation`` for the
+    two-pass pipeline."""
+    cases = find_cases(input_path)
+    os.makedirs(output_dir, exist_ok=True)
+
+    patch = tuple(int(v) for v in np.asarray(partition_size)[::-1])
+    stride = tuple(int(v) for v in np.asarray(partition_stride)[::-1]) \
+        if partition_stride is not None else patch
+
+    # session reuse across calls (same rationale as seg_infer._SESSIONS:
+    # re-created inferers force a full retrace+recompile per call)
+    from segmentation3d_tpu.utils import model_io as _mio
+    def _ck(d):
+        c = _mio.latest_checkpoint(d)
+        return (c, os.path.getmtime(os.path.join(c, "params.pth")))
+    skey = (_ck(coarse_model_dir), _ck(fine_model_dir),
+            jnp.dtype(dtype).name, patch, stride, int(batch_size))
+    sess = _C2F_SESSIONS.get(skey)
+    if sess is None:
+        while len(_C2F_SESSIONS) >= 2:
+            _C2F_SESSIONS.pop(next(iter(_C2F_SESSIONS)))
+        sess = _build_c2f_session(coarse_model_dir, fine_model_dir, dtype,
+                                  patch, stride, batch_size)
+        _C2F_SESSIONS[skey] = sess
+    coarse, fine = sess["coarse"], sess["fine"]
+    fine_inferer, coarse_cache = sess["fine_inferer"], sess["coarse_cache"]
 
     results = []
     failures = []

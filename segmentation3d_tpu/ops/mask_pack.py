@@ -45,14 +45,31 @@ def pack_mask(mask, num_classes: int):
     return (g << shifts).sum(axis=-1, dtype=jnp.uint8)
 
 
+_UNPACK_LUT = {}  # bits -> [256, vpb] uint8 (byte value -> its voxel labels)
+
+
 def unpack_mask(packed: np.ndarray, n_last: int, num_classes: int) -> np.ndarray:
     """Host-side inverse of :func:`pack_mask`: uint8 packed bytes ->
-    uint8 labels with last axis ``n_last``."""
+    uint8 labels with last axis ``n_last``.
+
+    Uses ``np.unpackbits`` (1-bit) / a 256-entry byte lookup table (2/4-bit)
+    — the broadcast ``(p[..., None] >> shifts) & m`` formulation profiled at
+    2.9 s for a 384^3 binary mask on this 1-core host (it materialized an
+    8x uint8 intermediate), which serialized into the write-behind thread's
+    per-case budget."""
     bits = bits_for(num_classes)
     p = np.asarray(packed, np.uint8)
     if bits == 8:
         return p[..., :n_last]
     vpb = 8 // bits
-    shifts = (np.arange(vpb - 1, -1, -1, np.uint8) * np.uint8(bits))
-    g = (p[..., None] >> shifts) & np.uint8((1 << bits) - 1)
-    return g.reshape(p.shape[:-1] + (p.shape[-1] * vpb,))[..., :n_last]
+    if bits == 1:
+        g = np.unpackbits(p, axis=-1)  # 'big' order == pack_mask's layout
+    else:
+        lut = _UNPACK_LUT.get(bits)
+        if lut is None:
+            shifts = (np.arange(vpb - 1, -1, -1, np.uint8) * np.uint8(bits))
+            lut = ((np.arange(256, dtype=np.uint8)[:, None] >> shifts)
+                   & np.uint8((1 << bits) - 1))
+            _UNPACK_LUT[bits] = lut
+        g = lut[p].reshape(p.shape[:-1] + (p.shape[-1] * vpb,))
+    return g[..., :n_last]

@@ -34,30 +34,52 @@ import jax.numpy as jnp
 _INT_DTYPES = (np.int8, np.uint8, np.int16, np.uint16, np.int32, np.uint32)
 
 
+def _sub_u16(data: np.ndarray, lo: int) -> np.ndarray:
+    """``(data - lo)`` as a flat uint16 array WITHOUT an int32 temporary.
+
+    For 2-byte int dtypes the subtraction runs modulo 2^16 on a uint16
+    VIEW — exact whenever the true difference fits [0, 65535] (callers
+    guarantee span < 4096). 4-byte ints (rare) take the cast path. This
+    matters because the pack runs per case on this 1-CORE host: the old
+    int32 formulation made ~5 full-volume 4-byte passes and profiled at
+    4.3 s per 384^3 case — longer than the H2D transfer it feeds."""
+    flat = data.reshape(-1)
+    if flat.dtype.itemsize == 2:
+        if flat.dtype.byteorder == ">":
+            flat = flat.astype(flat.dtype.newbyteorder("<"))
+        return flat.view(np.uint16) - np.uint16(lo & 0xFFFF)
+    return (flat - lo).astype(np.uint16)
+
+
 def pack_volume_np(data: np.ndarray):
     """Pack a stored volume for upload. Returns ``(packed, meta)`` where
     ``meta = {"scheme", "lo", "shape"}``; ``packed`` is what to
     ``jax.device_put`` and :func:`unpack_volume` inverts it on device.
 
-    Host cost is a few vector passes over the volume (runs on the read-ahead
-    thread, hidden behind the previous case's transfer)."""
+    Host cost is a few uint8/uint16 vector passes over the volume (runs on
+    the read-ahead thread, overlapped with the previous case's transfer)."""
     shape = tuple(int(s) for s in data.shape)
     if data.dtype.type not in _INT_DTYPES:
         return data, {"scheme": "raw", "lo": 0, "shape": shape}
     lo = int(data.min())
     span = int(data.max()) - lo  # values fit [0, span]
     if span < 256:
-        return (data.reshape(-1).astype(np.int32) - lo).astype(np.uint8), \
+        return _sub_u16(data, lo).astype(np.uint8), \
             {"scheme": "u8", "lo": lo, "shape": shape}
     if span < 4096:
-        flat = data.reshape(-1).astype(np.int32) - lo
-        if flat.size % 2:
-            flat = np.concatenate([flat, flat[-1:]])
-        a, b = flat[0::2], flat[1::2]
-        packed = np.empty((3, a.size), np.uint8)
-        packed[0] = a & 0xFF
-        packed[1] = (a >> 8) | ((b & 0xF) << 4)
-        packed[2] = b >> 4
+        u = _sub_u16(data, lo)
+        if u.size % 2:
+            u = np.concatenate([u, u[-1:]])
+        # little-endian byte planes per voxel pair (a, b):
+        #   B[:, 0] = a & 0xFF   B[:, 1] = a >> 8 (<= 0x0F)
+        #   B[:, 2] = b & 0xFF   B[:, 3] = b >> 8 (<= 0x0F)
+        B = u.view(np.uint8).reshape(-1, 4)
+        packed = np.empty((3, B.shape[0]), np.uint8)
+        packed[0] = B[:, 0]
+        np.left_shift(B[:, 2], 4, out=packed[1])   # (b & 0xF) << 4 (mod 256)
+        packed[1] |= B[:, 1]                       # | (a >> 8)
+        np.right_shift(B[:, 2], 4, out=packed[2])  # (b >> 4) & 0xF
+        packed[2] |= np.left_shift(B[:, 3], 4)     # | ((b >> 8) << 4)
         return packed, {"scheme": "u12", "lo": lo, "shape": shape}
     return data, {"scheme": "raw", "lo": 0, "shape": shape}
 
