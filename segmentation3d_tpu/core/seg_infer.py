@@ -152,15 +152,15 @@ import threading as _threading
 class _ReadAhead:
     """Background case reader as a TWO-STAGE pipeline on separate threads:
 
-      decode thread:  file read + gzip decode + bit-pack     (~1.3 s/case)
-      upload thread:  ``jax.device_put`` of the packed data  (~3.5 s/case —
-                      the axon link moves ~20-25 MB/s, measured)
+      decode thread:  file read + gzip decode + bit-pack  (~1.6 s/case CPU)
+      upload thread:  ``jax.device_put`` of the packed data (H2D; the relay
+                      link speed is WEATHER — measured anywhere from ~15
+                      MB/s to ~1.2 GB/s across sessions)
 
     so the decode of case N+2, the upload of case N+1 and the device compute
     of case N all overlap. With both stages on ONE thread (round 2) the
     steady state was their SUM (4.9 s/case measured for 384^3 int16
-    .nii.gz); pipelined it is max(stage) — the H2D transfer (BASELINE.md
-    round-3 e2e row).
+    .nii.gz); pipelined it is max(stage) (BASELINE.md round-3 e2e rows).
 
     Volumes are read in their STORED dtype (CT is almost always int16 on
     disk) and bit-packed to the value range's width (``ops.volume_pack``:
@@ -224,8 +224,9 @@ class _DeferredVolume:
     """A result volume whose voxels still live ON DEVICE (bit-packed mask or
     f16 prob map). ``materialize()`` performs the device->host transfer,
     unpack, and optional connected-component post-processing — called from
-    the write-behind thread so the slow host link (~20-25 MB/s measured)
-    overlaps the NEXT case's device compute instead of serializing after it."""
+    the write-behind materialize thread so the slow D2H direction of the
+    relay (measured 3-20 MB/s; H2D is orders of magnitude faster) overlaps
+    the NEXT case's device compute instead of serializing after it."""
 
     def __init__(self, frame, thunk):
         self.frame = frame
@@ -236,27 +237,51 @@ class _DeferredVolume:
 
 
 class _WriteBehind:
-    """Background-thread result writer: device->host readback of case N's
-    results + gzip-compress + write overlap device compute of case N+1 (the
-    mirror of :class:`_ReadAhead`; serial, these cost multiple seconds of
-    the per-case budget on this host)."""
+    """Background result writer as a TWO-STAGE pipeline (the mirror of
+    :class:`_ReadAhead`):
+
+      materialize thread:  device->host readback + bit-unpack + CC post-ops
+                           (D2H is the genuinely slow relay direction —
+                           measured 3-20 MB/s vs ~GB/s H2D; ~2-3 s/case)
+      write thread:        gzip-compress + file write (~1.5 s/case CPU)
+
+    so case N's file write overlaps case N+1's readback, which overlaps case
+    N+2's device compute. With both stages on ONE thread the write-behind
+    stage was their SUM (~4.3 s/case measured for 384^3) and capped the
+    whole pipeline; split, the stage cost is max(readback, write)."""
 
     def __init__(self, depth=2):
         self.q = _queue.Queue(maxsize=max(1, depth))
+        self._wq = _queue.Queue(maxsize=max(1, depth))
         self.failures = []
-        self._t = _threading.Thread(target=self._run, daemon=True)
-        self._t.start()
+        self._mt = _threading.Thread(target=self._materialize, daemon=True)
+        self._wt = _threading.Thread(target=self._write, daemon=True)
+        self._mt.start()
+        self._wt.start()
 
-    def _run(self):
+    def _materialize(self):
         while True:
             item = self.q.get()
+            if item is None:
+                self._wq.put(None)
+                return
+            case_name, jobs = item
+            try:
+                jobs = [(v.materialize() if isinstance(v, _DeferredVolume)
+                         else v, path) for v, path in jobs]
+            except Exception as e:  # noqa: BLE001 — surfaced at end
+                self.failures.append((case_name, e))
+                continue
+            self._wq.put((case_name, jobs))
+
+    def _write(self):
+        while True:
+            item = self._wq.get()
             if item is None:
                 return
             case_name, jobs = item
             try:
                 for vol, path in jobs:
-                    if isinstance(vol, _DeferredVolume):
-                        vol = vol.materialize()
                     write_image(vol, path)
             except Exception as e:  # noqa: BLE001 — collected, surfaced at end
                 self.failures.append((case_name, e))
@@ -266,7 +291,8 @@ class _WriteBehind:
 
     def close(self):
         self.q.put(None)
-        self._t.join()
+        self._mt.join()
+        self._wt.join()
         return self.failures
 
 

@@ -101,9 +101,12 @@ def write_mha(path, data, frame: Frame, compress: bool | None = None):
         f"ElementType = {_NP_TO_MET[np.dtype(data.dtype)]}",
         "ElementDataFile = LOCAL",
     ]
-    payload = np.ascontiguousarray(data).tobytes()
+    # memoryview: no tobytes() copy (a full-volume pass on a 1-core host)
+    payload = memoryview(np.ascontiguousarray(data)).cast("B")
     if compress:
-        payload = zlib.compress(payload, 6)
+        payload = zlib.compress(payload, 1)  # level 1: ~4x faster than 6,
+        # <1% larger on label masks (long equal runs) — same call as the
+        # gzip-level choice in io/nifti.py
     with open(path, "wb") as f:
         f.write(("\n".join(lines) + "\n").encode("latin-1"))
         f.write(payload)

@@ -287,7 +287,8 @@ def write_nifti(path, data, frame: Frame):
     with _open(path, "wb") as f:
         f.write(hdr)
         f.write(b"\x00" * 4)  # extension flag padding to vox_offset 352
-        f.write(np.ascontiguousarray(data).tobytes())
+        # memoryview: no tobytes() copy (a full-volume pass on a 1-core host)
+        f.write(memoryview(np.ascontiguousarray(data)).cast("B"))
 
 
 def write_hdr_img(path, data, frame: Frame):
@@ -311,4 +312,4 @@ def write_hdr_img(path, data, frame: Frame):
     with open(base + ".hdr", "wb") as f:
         f.write(hdr)
     with _open(base + (".img.gz" if gz_img else ".img"), "wb") as f:
-        f.write(np.ascontiguousarray(data).tobytes())
+        f.write(memoryview(np.ascontiguousarray(data)).cast("B"))

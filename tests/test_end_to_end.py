@@ -402,3 +402,39 @@ def test_readahead_upload_failure_isolated(tmp_path, monkeypatch):
     assert isinstance(errs[1], RuntimeError)
     assert got[0][2] is not None and got[2][2] is not None  # devs present
     assert [p[0] for p, _, _, _ in got] == [c[0] for c in paths]  # in order
+
+
+def test_writebehind_two_stage_pipeline(tmp_path):
+    """The two-stage write-behind (materialize thread -> write thread)
+    writes successful cases, isolates BOTH failure kinds (a materialize
+    error and a write error) into ``failures``, and ``close()`` drains
+    both stages."""
+    import numpy as np
+    from segmentation3d_tpu.io import Volume, read_image
+    from segmentation3d_tpu.ops.geometry import Frame
+    from segmentation3d_tpu.core.seg_infer import _WriteBehind, _DeferredVolume
+
+    frame = Frame.identity()
+    ok_vol = Volume(np.ones((4, 4, 4), np.uint8), frame)
+    ok_deferred = _DeferredVolume(frame, lambda: np.full((4, 4, 4), 2, np.uint8))
+
+    def boom():
+        raise RuntimeError("d2h failed")
+
+    bad_deferred = _DeferredVolume(frame, boom)
+
+    w = _WriteBehind()
+    w.submit("case_ok", [(ok_vol, str(tmp_path / "a" / "seg.nii.gz"))])
+    w.submit("case_bad_mat", [(bad_deferred, str(tmp_path / "b" / "seg.nii.gz"))])
+    w.submit("case_ok2", [(ok_deferred, str(tmp_path / "c" / "seg.nii.gz"))])
+    # write failure: unwritable path (directory collides with a file)
+    blocker = tmp_path / "d"
+    blocker.write_text("not a dir")
+    w.submit("case_bad_write", [(ok_vol, str(blocker / "seg.nii.gz"))])
+    w.close()
+
+    assert sorted(n for n, _ in w.failures) == ["case_bad_mat", "case_bad_write"]
+    assert (tmp_path / "a" / "seg.nii.gz").exists()
+    got = read_image(str(tmp_path / "c" / "seg.nii.gz"))
+    assert np.all(np.asarray(got.data) == 2)
+    assert not (tmp_path / "b" / "seg.nii.gz").exists()
