@@ -85,17 +85,27 @@ def main():
     step = make_train_step(net, MultiDiceLoss(num_class=args.classes), optimizer,
                            apply_fn=apply_fn)
 
-    def one_step():
-        idxs = rng.integers(0, len(ds), args.batch)
-        images, sgs, _, _ = ds.batch(list(idxs))
-        im, sg = shard_batch((images, sgs), mesh)
-        return step(*([params, stats, opt_state] + [im, sg]))
+    # the REAL train loop's background prefetcher (crop/normalize batch b+1
+    # while the device runs step b) — without it this measured the host
+    # batch-assembly time IN SERIES with the device step (23.2 vs the true
+    # ~44 patches/sec at 96^3, measured round 3)
+    from segmentation3d_tpu.core.seg_train import _BatchPrefetcher
 
-    params, stats, opt_state, loss = one_step()  # warm-up/compile
-    float(loss)
+    def index_stream(n):
+        for _ in range(n):
+            yield int(rng.integers(0, len(ds)))
+
+    warm = _BatchPrefetcher(ds, index_stream(args.batch), args.batch, mesh)
+    im, sg, _, _ = next(warm)
+    params, stats, opt_state, loss = step(params, stats, opt_state, im, sg)
+    float(loss)  # warm-up/compile
+    warm.stop()
+
+    prefetcher = _BatchPrefetcher(
+        ds, index_stream(args.steps * args.batch), args.batch, mesh)
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        params, stats, opt_state, loss = one_step()
+    for im, sg, _, _ in prefetcher:
+        params, stats, opt_state, loss = step(params, stats, opt_state, im, sg)
     float(loss)
     dt = (time.perf_counter() - t0) / args.steps
     pps = args.batch / dt
