@@ -102,3 +102,25 @@ def test_corrupt_case_skipped(tmp_path):
         partition_size=(32, 32, 32))
     assert [r[0] for r in results] == ["good"]
     assert os.path.isfile(os.path.join(out, "good", "seg.nii.gz"))
+
+
+def test_c2f_session_reuse(c2f_setup):
+    """Repeat coarse-to-fine calls with the same models/options reuse the
+    built session (models + fine inferer + coarse program cache) — the
+    round-3 session cache that avoids per-call retrace/recompile."""
+    root, cases, save_dir = c2f_setup
+    from segmentation3d_tpu.core import coarse_to_fine as c2f
+    c2f._C2F_SESSIONS.clear()
+    kwargs = dict(seg_name="seg.nii.gz", partition_size=(32, 32, 32),
+                  batch_size=1, margin_mm=8.0)
+    c2f.segmentation_coarse_to_fine(
+        cases[0][0][0], save_dir, save_dir, str(root / "sr1"), **kwargs)
+    assert len(c2f._C2F_SESSIONS) == 1
+    (key, sess), = c2f._C2F_SESSIONS.items()
+    coarse1, inferer1 = sess["coarse"], sess["fine_inferer"]
+    c2f.segmentation_coarse_to_fine(
+        cases[0][0][0], save_dir, save_dir, str(root / "sr2"), **kwargs)
+    assert len(c2f._C2F_SESSIONS) == 1
+    assert c2f._C2F_SESSIONS[key]["coarse"] is coarse1
+    assert c2f._C2F_SESSIONS[key]["fine_inferer"] is inferer1
+    c2f._C2F_SESSIONS.clear()

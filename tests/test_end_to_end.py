@@ -438,3 +438,46 @@ def test_writebehind_two_stage_pipeline(tmp_path):
     got = read_image(str(tmp_path / "c" / "seg.nii.gz"))
     assert np.all(np.asarray(got.data) == 2)
     assert not (tmp_path / "b" / "seg.nii.gz").exists()
+
+
+def test_segmentation_session_reuse(trained_model):
+    """Repeat segmentation() calls with identical engine options reuse the
+    loaded model + inferers (round-3 session cache: a rebuilt inferer
+    re-traces and re-compiles every program — 19 s of pure re-dispatch per
+    call measured on the TPU relay); a checkpoint touch invalidates."""
+    root, cases, save_dir, _ = trained_model
+    from segmentation3d_tpu.core import seg_infer as si
+    from segmentation3d_tpu.utils import model_io
+
+    img_path = cases[0][0][0]
+    si._SESSIONS.clear()
+    si.segmentation(img_path, save_dir, str(root / "sess1"),
+                    seg_name="seg.nii.gz", batch_size=1)
+    assert len(si._SESSIONS) == 1
+    (key1, sess1), = si._SESSIONS.items()
+    model1 = sess1["model"]
+    inferers1 = dict(sess1["inferers"])
+    assert inferers1  # the first call built at least one inferer
+
+    si.segmentation(img_path, save_dir, str(root / "sess2"),
+                    seg_name="seg.nii.gz", batch_size=1)
+    assert len(si._SESSIONS) == 1  # same key -> same session
+    assert si._SESSIONS[key1]["model"] is model1
+    for k, v in inferers1.items():  # inferers reused, not rebuilt
+        assert si._SESSIONS[key1]["inferers"][k] is v
+
+    # different engine options -> a second session
+    si.segmentation(img_path, save_dir, str(root / "sess3"),
+                    seg_name="seg.nii.gz", batch_size=2)
+    assert len(si._SESSIONS) == 2
+
+    # a newer checkpoint mtime -> cache miss -> fresh model
+    chk = model_io.latest_checkpoint(save_dir)
+    p = os.path.join(chk, "params.pth")
+    os.utime(p, (os.path.getatime(p), os.path.getmtime(p) + 10))
+    si.segmentation(img_path, save_dir, str(root / "sess4"),
+                    seg_name="seg.nii.gz", batch_size=1)
+    fresh = [s for s in si._SESSIONS.values() if s["model"] is not model1
+             and s["model"] is not None]
+    assert fresh
+    si._SESSIONS.clear()
