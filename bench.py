@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--fused", default="2", choices=["0", "1", "2"],
                     help="0=flax forward, 1=BN-folded window-conv forward, "
                          "2=packed-domain forward (default)")
+    ap.add_argument("--accum", default=None, choices=["f32", "bf16"],
+                    help="packed-forward conv output precision (default: "
+                         "bf16 when --dtype bfloat16 — the flax forward's "
+                         "own numerics; f32 keeps round-2 behavior)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="wrap one timed rep in jax.profiler.trace(DIR); "
                          "rank ops with benchmarks/trace_top.py DIR")
@@ -67,7 +71,9 @@ def main():
     apply_fn = apply_vars = None
     if args.fused == "2":
         from segmentation3d_tpu.models.packed_vnet import build_packed_forward
-        apply_fn, apply_vars = build_packed_forward(net, variables, dtype=dtype)
+        accum = args.accum or ("bf16" if dtype == jnp.bfloat16 else "f32")
+        apply_fn, apply_vars = build_packed_forward(net, variables,
+                                                    dtype=dtype, accum=accum)
     elif args.fused == "1":
         from segmentation3d_tpu.models.fused_vnet import build_fused_forward
         apply_fn, apply_vars = build_fused_forward(net, variables, dtype=dtype,

@@ -45,7 +45,7 @@ from segmentation3d_tpu.ops.pallas_conv import fold_bn
 from segmentation3d_tpu.ops.packed_conv import (
     window_kernels_np, window_conv_packed, down_kernel_np, down_conv_packed,
     deconv_gemm_np, deconv_gemm_apply, deconv_unshuffle, concat_packed,
-    interleave_perm_np, pick_window_p, _conv_f32)
+    interleave_perm_np, pick_window_p, _conv_acc)
 
 
 def _p_for(c: int) -> int:
@@ -66,12 +66,24 @@ def _act(x, kind, alpha=0.25):
     raise ValueError(kind)
 
 
-def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16):
+def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
+                         accum: str = "f32"):
     """Returns ``(apply_fn, fused_vars)``; ``apply_fn(fused_vars, x)`` ==
-    ``net.apply(variables, x, train=False)`` within bf16 tolerance."""
+    ``net.apply(variables, x, train=False)`` within bf16 tolerance.
+
+    ``accum="bf16"`` (bf16 ``dtype`` only): every conv emits bf16 directly
+    instead of materializing an f32 accumulation that the following
+    bias+act+cast pass re-reads (``ops.packed_conv._conv_acc``). This is
+    the flax reference forward's own output precision (flax convs under
+    ``dtype=bf16`` emit bf16), so argmax parity holds; the softmax head
+    still computes in f32."""
     if net.bottleneck:
         raise NotImplementedError("packed forward supports the standard "
                                   "(non-bottleneck) V-Net blocks")
+    if accum not in ("f32", "bf16"):
+        raise ValueError(f"accum {accum!r} is not one of 'f32', 'bf16'")
+    if accum == "bf16" and dtype != jnp.bfloat16:
+        raise ValueError("accum='bf16' requires dtype=jnp.bfloat16")
     p = variables["params"]
     s = variables["batch_stats"]
     act_kind = net.act
@@ -182,12 +194,13 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16):
         m = meta[key]
         if m["route"] == "window":
             out = window_conv_packed(xp, v["mid"], v["left"], v["right"],
-                                     v["b"], P=m["P"], cin=m["cin"])
+                                     v["b"], P=m["P"], cin=m["cin"],
+                                     accum=accum)
         else:  # P == 1: plain SAME conv on the (identical) unpacked view
-            out = _conv_f32(xp.astype(dtype), v["w"].astype(dtype),
+            out = _conv_acc(xp.astype(dtype), v["w"].astype(dtype),
                             (1, 1, 1), "SAME", ("NDHWC", "DHWIO", "NDHWC"),
-                            False)
-            out = out + v["b"].astype(jnp.float32).reshape(1, 1, 1, 1, -1)
+                            False, accum)
+            out = out + v["b"].astype(out.dtype).reshape(1, 1, 1, 1, -1)
         return _act(out, act_kind, m["alpha"]).astype(dtype)
 
     def run_res(key, fvars, xp):
@@ -226,12 +239,12 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16):
             key = f"down_{c}/down"
             m, v = meta[key], fvars[key]
             if m["route"] == "packed":
-                out = down_conv_packed(xp, v["k"], v["b"])
+                out = down_conv_packed(xp, v["k"], v["b"], accum=accum)
             else:
-                out = _conv_f32(xp.astype(dtype), v["w"].astype(dtype),
+                out = _conv_acc(xp.astype(dtype), v["w"].astype(dtype),
                                 (2, 2, 2), ((0, 0), (0, 0), (0, 0)),
-                                ("NDHWC", "DHWIO", "NDHWC"), False)
-                out = out + v["b"].astype(jnp.float32).reshape(1, 1, 1, 1, -1)
+                                ("NDHWC", "DHWIO", "NDHWC"), False, accum)
+                out = out + v["b"].astype(out.dtype).reshape(1, 1, 1, 1, -1)
             xp = _act(out, act_kind, m["alpha"]).astype(dtype)
             P = max(P // 2, 1)
             xp = run_res(f"down_{c}/res", fvars, xp)
@@ -242,7 +255,7 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16):
             # GEMM -> act+bf16 on the folded form -> z/y unshuffle (the
             # transpose then moves half the bytes)
             y = deconv_gemm_apply(xp, v["k"], v["b"], cout=m["cout"],
-                                  P_out=m["P_out"])
+                                  P_out=m["P_out"], accum=accum)
             y = _act(y, act_kind, m["alpha"]).astype(dtype)
             up_act = deconv_unshuffle(y)
             # align the up path to the skip's packing (free), then concat
@@ -258,9 +271,11 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16):
         xp = repack(xp, P, Ph_)
         xp = run_win("out_block/conv", fvars["out_block/conv"], xp)
         v = fvars["out_block/proj"]
-        logits = _conv_f32(xp.astype(dtype), v["k"].astype(dtype), (1, 1, 1),
+        # the 1x1 proj keeps f32 accumulation regardless of ``accum`` — its
+        # output feeds the softmax directly and is tiny (Ph*NC channels)
+        logits = _conv_acc(xp.astype(dtype), v["k"].astype(dtype), (1, 1, 1),
                            ((0, 0), (0, 0), (0, 0)),
-                           ("NDHWC", "DHWIO", "NDHWC"), False)
+                           ("NDHWC", "DHWIO", "NDHWC"), False, "f32")
         logits = logits + v["b"].astype(jnp.float32).reshape(1, 1, 1, 1, -1)
         # per-voxel softmax over packed class pairs, then free-unpack
         cols = logits.shape[3]

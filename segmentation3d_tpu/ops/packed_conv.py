@@ -91,6 +91,24 @@ def _conv_f32(x, w, strides, padding, dn, grad_safe):
         preferred_element_type=jnp.float32)
 
 
+def _conv_acc(x, w, strides, padding, dn, grad_safe, accum):
+    """Conv with selectable OUTPUT precision for the inference forwards.
+
+    ``accum="f32"``: f32 result (``preferred_element_type``) — the round-2
+    default; every conv output materializes at 2x bytes and the following
+    bias+act+cast fusion re-reads it. ``accum="bf16"``: the conv emits bf16
+    directly (the MXU still accumulates each GEMM tile in f32 internally —
+    only the OUTPUT rounding moves before the bias add instead of after
+    act). This matches the flax reference forward's own numerics (flax
+    convs under ``dtype=bf16`` emit bf16), and cuts the f32 write+read of
+    every big activation: profiled ~170 ms/volume of act/cast passes on
+    the 512^3 slab headline, measured 68.7 -> see BASELINE.md round-3."""
+    if accum == "bf16" and x.dtype == jnp.bfloat16 and not grad_safe:
+        return jax.lax.conv_general_dilated(
+            x, w, strides, padding, dimension_numbers=dn)
+    return _conv_f32(x, w, strides, padding, dn, grad_safe)
+
+
 def packed_conv3d_pre(x, wk, bp=None, *, P: int, cout: int,
                       out_dtype=jnp.bfloat16, grad_safe: bool = False):
     """:func:`packed_conv3d` with a PREBUILT packed kernel ``wk``
@@ -231,7 +249,7 @@ def window_conv3d(x, w, b=None, P: int | None = None, out_dtype=jnp.bfloat16):
 
 
 def window_conv_packed(xp, mid, wl, wr, bp=None, *, P: int, cin: int,
-                       grad_safe: bool = False):
+                       grad_safe: bool = False, accum: str = "f32"):
     """Packed-domain stride-1 window conv: ``xp`` [B,D,H,cols,P*cin] ->
     f32 [B,D,H,cols,P*cout]. The packed-form core of
     :func:`window_conv3d_pre`; the packed-domain V-Net forward
@@ -258,19 +276,19 @@ def window_conv_packed(xp, mid, wl, wr, bp=None, *, P: int, cin: int,
 
     zy_same = ((1, 1), (1, 1), (0, 0))
     dn = ("NDHWC", "DHWIO", "NDHWC")
-    out = _conv_f32(xp, mid.astype(cdtype), (1, 1, 1), zy_same, dn,
-                    grad_safe)                    # [B,D,H,cols,P*cout]
+    out = _conv_acc(xp, mid.astype(cdtype), (1, 1, 1), zy_same, dn,
+                    grad_safe, accum)             # [B,D,H,cols,P*cout]
     # left halo: output col q reads col q-1's lane P-1 (x pad (1,-1));
     # right halo: col q+1's lane 0 (x pad (-1,1)); zero-extended at edges
-    lc = _conv_f32(xp[..., (P - 1) * cin:], wl.astype(cdtype), (1, 1, 1),
-                   ((1, 1), (1, 1), (1, -1)), dn, grad_safe)
-    rc = _conv_f32(xp[..., :cin], wr.astype(cdtype), (1, 1, 1),
-                   ((1, 1), (1, 1), (-1, 1)), dn, grad_safe)
+    lc = _conv_acc(xp[..., (P - 1) * cin:], wl.astype(cdtype), (1, 1, 1),
+                   ((1, 1), (1, 1), (1, -1)), dn, grad_safe, accum)
+    rc = _conv_acc(xp[..., :cin], wr.astype(cdtype), (1, 1, 1),
+                   ((1, 1), (1, 1), (-1, 1)), dn, grad_safe, accum)
     pad4 = ((0, 0),) * 4
     out = out + jnp.pad(lc, pad4 + ((0, (P - 1) * cout),))
     out = out + jnp.pad(rc, pad4 + (((P - 1) * cout, 0),))
     if bp is not None:
-        out = out + bp.astype(jnp.float32).reshape(1, 1, 1, 1, -1)
+        out = out + bp.astype(out.dtype).reshape(1, 1, 1, 1, -1)
     return out
 
 
@@ -349,15 +367,16 @@ def down_kernel_np(w: np.ndarray, P: int):
     return mid
 
 
-def down_conv_packed(xp, mid, bp=None, *, grad_safe: bool = False):
+def down_conv_packed(xp, mid, bp=None, *, grad_safe: bool = False,
+                     accum: str = "f32"):
     """Packed k=2/s=2 down conv: [B,D,H,cols,P*Cin] ->
-    f32 [B,D/2,H/2,cols,(P/2)*Cout] (cols unchanged)."""
+    f32 (or bf16, ``accum``) [B,D/2,H/2,cols,(P/2)*Cout] (cols unchanged)."""
     cdtype = jnp.float32 if xp.dtype == jnp.float32 else jnp.bfloat16
     dn = ("NDHWC", "DHWIO", "NDHWC")
-    out = _conv_f32(xp.astype(cdtype), mid.astype(cdtype), (2, 2, 1),
-                    ((0, 0), (0, 0), (0, 0)), dn, grad_safe)
+    out = _conv_acc(xp.astype(cdtype), mid.astype(cdtype), (2, 2, 1),
+                    ((0, 0), (0, 0), (0, 0)), dn, grad_safe, accum)
     if bp is not None:
-        out = out + bp.astype(jnp.float32).reshape(1, 1, 1, 1, -1)
+        out = out + bp.astype(out.dtype).reshape(1, 1, 1, 1, -1)
     return out
 
 
@@ -388,20 +407,20 @@ def deconv_gemm_np(w: np.ndarray, P: int):
 
 
 def deconv_gemm_apply(xp, k, bp=None, *, cout: int, P_out: int,
-                      grad_safe: bool = False):
+                      grad_safe: bool = False, accum: str = "f32"):
     """GEMM half of the packed k=2/s=2 deconv: [B,D,H,cols,P*Cin] ->
-    f32 [B,D,H,cols,2,2,P_out*Cout] (dz, dy still folded in channels).
-    Apply the activation + bf16 cast on THIS form, then
-    :func:`deconv_unshuffle` — transposing the post-activation bf16 tensor
-    halves the unshuffle's bytes vs transposing the f32 accumulation
+    f32 (or bf16, ``accum``) [B,D,H,cols,2,2,P_out*Cout] (dz, dy still
+    folded in channels). Apply the activation + bf16 cast on THIS form,
+    then :func:`deconv_unshuffle` — transposing the post-activation bf16
+    tensor halves the unshuffle's bytes vs transposing the f32 accumulation
     (profiled: a 4.9 ms/slab f32 rank-7 copy on the 512^2 slab forward)."""
     B, D, H, cols, _ = xp.shape
     cdtype = jnp.float32 if xp.dtype == jnp.float32 else jnp.bfloat16
     dn = ("NDHWC", "DHWIO", "NDHWC")
-    out = _conv_f32(xp.astype(cdtype), k.astype(cdtype), (1, 1, 1),
-                    ((0, 0), (0, 0), (0, 0)), dn, grad_safe)
+    out = _conv_acc(xp.astype(cdtype), k.astype(cdtype), (1, 1, 1),
+                    ((0, 0), (0, 0), (0, 0)), dn, grad_safe, accum)
     if bp is not None:
-        bt = jnp.tile(bp.astype(jnp.float32), (P_out,))
+        bt = jnp.tile(bp.astype(out.dtype), (P_out,))
         out = out + jnp.tile(bt, (4,)).reshape(1, 1, 1, 1, -1)
     return out.reshape(B, D, H, cols, 2, 2, P_out * cout)
 

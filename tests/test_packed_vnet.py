@@ -91,3 +91,32 @@ def test_packed_blend_tail_equivalence():
     np.testing.assert_array_equal(np.asarray(seg_p), np.asarray(seg_g))
     np.testing.assert_allclose(np.asarray(prob_p), np.asarray(prob_g),
                                atol=1e-6)
+
+
+def test_parity_bf16_accum():
+    """accum='bf16' (convs emit bf16 directly — the flax forward's own
+    output precision) keeps argmax agreement with the flax reference and
+    stays close to the f32-accum packed forward."""
+    net = SegmentationNet(in_channels=1, out_channels=2)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 32, 1)), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(1), x, train=False)
+    ref = np.asarray(net.apply(variables, x, train=False))
+    apply_fn, fv = build_packed_forward(net, variables, dtype=jnp.bfloat16,
+                                        accum="bf16")
+    out = np.asarray(apply_fn(fv, x))
+    agree = np.mean(np.argmax(out, -1) == np.argmax(ref, -1))
+    assert agree > 0.98
+    f32_fn, f32_fv = build_packed_forward(net, variables, dtype=jnp.bfloat16,
+                                          accum="f32")
+    out_f32 = np.asarray(f32_fn(f32_fv, x))
+    np.testing.assert_allclose(out, out_f32, atol=0.05)
+
+
+def test_accum_validation():
+    net = SegmentationNet(in_channels=1, out_channels=2)
+    x = jnp.zeros((1, 16, 16, 32, 1), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+    with pytest.raises(ValueError):
+        build_packed_forward(net, variables, dtype=jnp.float32, accum="bf16")
+    with pytest.raises(ValueError):
+        build_packed_forward(net, variables, accum="int8")
