@@ -71,9 +71,9 @@ def main():
     apply_fn = apply_vars = None
     if args.fused == "2":
         from segmentation3d_tpu.models.packed_vnet import build_packed_forward
-        accum = args.accum or ("bf16" if dtype == jnp.bfloat16 else "f32")
         apply_fn, apply_vars = build_packed_forward(net, variables,
-                                                    dtype=dtype, accum=accum)
+                                                    dtype=dtype,
+                                                    accum=args.accum)
     elif args.fused == "1":
         from segmentation3d_tpu.models.fused_vnet import build_fused_forward
         apply_fn, apply_vars = build_fused_forward(net, variables, dtype=dtype,

@@ -144,7 +144,7 @@ def _build_c2f_session(coarse_model_dir, fine_model_dir, dtype, patch,
                 from segmentation3d_tpu.models.packed_vnet import (
                     build_packed_forward)
                 model.fused_apply, model.fused_vars = build_packed_forward(
-                    model.net, model.variables, dtype=dtype, accum="bf16")
+                    model.net, model.variables, dtype=dtype)
             else:
                 from segmentation3d_tpu.models.fused_vnet import (
                     build_fused_forward)

@@ -544,11 +544,8 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
                 if key == "packed":
                     from segmentation3d_tpu.models.packed_vnet import (
                         build_packed_forward)
-                    # bf16 conv outputs (the flax forward's own precision):
-                    # 68.7 -> 71.0 volumes/min on the 512^3 headline
-                    accum = "bf16" if dtype == jnp.bfloat16 else "f32"
                     _builders[key] = build_packed_forward(
-                        model.net, model.variables, dtype=dtype, accum=accum)
+                        model.net, model.variables, dtype=dtype)
                 else:
                     from segmentation3d_tpu.models.fused_vnet import (
                         build_fused_forward)

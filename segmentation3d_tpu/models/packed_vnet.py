@@ -67,19 +67,23 @@ def _act(x, kind, alpha=0.25):
 
 
 def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
-                         accum: str = "f32"):
+                         accum: str | None = None):
     """Returns ``(apply_fn, fused_vars)``; ``apply_fn(fused_vars, x)`` ==
     ``net.apply(variables, x, train=False)`` within bf16 tolerance.
 
-    ``accum="bf16"`` (bf16 ``dtype`` only): every conv emits bf16 directly
-    instead of materializing an f32 accumulation that the following
-    bias+act+cast pass re-reads (``ops.packed_conv._conv_acc``). This is
-    the flax reference forward's own output precision (flax convs under
-    ``dtype=bf16`` emit bf16), so argmax parity holds; the softmax head
-    still computes in f32."""
+    ``accum="bf16"`` (bf16 ``dtype`` only; the default under bf16):
+    every conv emits bf16 directly instead of materializing an f32
+    accumulation that the following bias+act+cast pass re-reads
+    (``ops.packed_conv._conv_acc``). This is the flax reference forward's
+    own output precision (flax convs under ``dtype=bf16`` emit bf16), so
+    argmax parity holds; the softmax head still computes in f32.
+    Measured 68.7 -> 71.0 volumes/min on the 512^3 headline
+    (BASELINE.md round-3)."""
     if net.bottleneck:
         raise NotImplementedError("packed forward supports the standard "
                                   "(non-bottleneck) V-Net blocks")
+    if accum is None:
+        accum = "bf16" if dtype == jnp.bfloat16 else "f32"
     if accum not in ("f32", "bf16"):
         raise ValueError(f"accum {accum!r} is not one of 'f32', 'bf16'")
     if accum == "bf16" and dtype != jnp.bfloat16:
