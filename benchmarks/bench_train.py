@@ -24,6 +24,11 @@ def main():
     ap.add_argument("--cases", type=int, default=4)
     ap.add_argument("--conv_backend", default="direct",
                     choices=["direct", "window", "packed_domain"])
+    ap.add_argument("--remat", type=int, default=1,
+                    help="jax.checkpoint per level (1, the train-loop "
+                         "default) vs full activation storage (0)")
+    ap.add_argument("--profile_dir", default=None,
+                    help="jax.profiler trace dir (wraps the timed steps)")
     args = ap.parse_args()
 
     import jax
@@ -70,7 +75,7 @@ def main():
     module_backend = "direct" if args.conv_backend == "packed_domain" \
         else args.conv_backend
     net = SegmentationNet(in_channels=1, out_channels=args.classes, dtype=dtype,
-                          remat=True, conv_backend=module_backend)
+                          remat=bool(args.remat), conv_backend=module_backend)
     x0 = jnp.zeros((1, args.crop, args.crop, args.crop, 1), jnp.float32)
     variables = net.init(jax.random.PRNGKey(0), x0, train=False)
     optimizer = optax.adam(1e-4)
@@ -78,12 +83,18 @@ def main():
     params = replicate(variables["params"], mesh)
     stats = replicate(variables["batch_stats"], mesh)
     opt_state = replicate(optimizer.init(variables["params"]), mesh)
-    apply_fn = None
+    loss_fn = MultiDiceLoss(num_class=args.classes)
+    apply_fn, packed_loss = None, None
     if args.conv_backend == "packed_domain":
         from segmentation3d_tpu.models.packed_train import build_packed_train_apply
-        apply_fn = build_packed_train_apply(net)
-    step = make_train_step(net, MultiDiceLoss(num_class=args.classes), optimizer,
-                           apply_fn=apply_fn)
+        from segmentation3d_tpu.losses.packed import make_packed_loss
+        from segmentation3d_tpu.ops.packed_conv import pick_window_p
+        packed_loss = make_packed_loss(loss_fn, pick_window_p(args.classes),
+                                       args.classes)
+        apply_fn = build_packed_train_apply(
+            net, packed_probs=packed_loss is not None)
+    step = make_train_step(net, loss_fn, optimizer, apply_fn=apply_fn,
+                           packed_loss=packed_loss)
 
     # the REAL train loop's background prefetcher (crop/normalize batch b+1
     # while the device runs step b) — without it this measured the host
@@ -103,18 +114,29 @@ def main():
 
     prefetcher = _BatchPrefetcher(
         ds, index_stream(args.steps * args.batch), args.batch, mesh)
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
     t0 = time.perf_counter()
     for im, sg, _, _ in prefetcher:
         params, stats, opt_state, loss = step(params, stats, opt_state, im, sg)
     float(loss)
     dt = (time.perf_counter() - t0) / args.steps
+    if args.profile_dir:
+        jax.profiler.stop_trace()
     pps = args.batch / dt
+    from segmentation3d_tpu.utils.flops import (
+        vnet_train_step_flops, TPU_V5E_PEAK_FLOPS)
+    step_flops = vnet_train_step_flops(
+        (args.crop,) * 3, 1, args.classes, batch=args.batch)
+    tfs = step_flops / dt / 1e12
+    mfu = step_flops / dt / TPU_V5E_PEAK_FLOPS
     print(json.dumps({
         "metric": f"train pipeline throughput ({args.crop}^3 crops, "
                   f"{args.classes}-class, batch {args.batch}, {args.dtype}, "
                   f"{args.conv_backend} convs)",
         "value": round(pps, 2), "unit": "patches/sec",
-        "sec_per_step": round(dt, 4),
+        "sec_per_step": round(dt, 4), "remat": bool(args.remat),
+        "useful_tflops_per_s": round(tfs, 1), "mfu": round(mfu, 4),
     }))
 
 

@@ -117,13 +117,19 @@ class _BatchPrefetcher:
         return item
 
 
-def make_train_step(net, loss_fn, optimizer, apply_fn=None):
+def make_train_step(net, loss_fn, optimizer, apply_fn=None, packed_loss=None):
     """Build the jitted SPMD train step (donated params/opt/batch-stats).
 
     ``apply_fn``: optional replacement for ``net.apply`` with the same
     calling convention (e.g. the packed-domain training forward,
-    ``models.packed_train.build_packed_train_apply``)."""
+    ``models.packed_train.build_packed_train_apply``). ``packed_loss``:
+    optional ``fn(prob_packed, segs)`` used INSTEAD of ``loss_fn`` when
+    ``apply_fn`` emits packed-layout probabilities
+    (``build_packed_train_apply(net, packed_probs=True)`` +
+    ``losses.packed.make_packed_loss`` — same scalar, no thin-channel
+    unpacked tensors in the loss)."""
     apply = apply_fn if apply_fn is not None else net.apply
+    loss_call = packed_loss if packed_loss is not None else loss_fn
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, images, segs):
@@ -131,7 +137,7 @@ def make_train_step(net, loss_fn, optimizer, apply_fn=None):
             probs, mutated = apply(
                 {"params": p, "batch_stats": batch_stats}, images,
                 train=True, mutable=["batch_stats"])
-            return loss_fn(probs, segs), mutated["batch_stats"]
+            return loss_call(probs, segs), mutated["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
         updates, new_opt = optimizer.update(grads, opt_state, params)
@@ -279,11 +285,17 @@ def train(config_file: str):
     batch_stats = replicate(variables["batch_stats"], mesh)
     loss_fn = create_loss(cfg.loss, int(cfg.dataset.num_classes))
     opt_state = replicate(opt_state, mesh)
-    apply_fn = None
+    apply_fn, packed_loss = None, None
     if conv_backend == "packed_domain":
         from segmentation3d_tpu.models.packed_train import build_packed_train_apply
-        apply_fn = build_packed_train_apply(net)
-    train_step = make_train_step(net, loss_fn, optimizer, apply_fn=apply_fn)
+        from segmentation3d_tpu.losses.packed import make_packed_loss
+        from segmentation3d_tpu.ops.packed_conv import pick_window_p
+        nc = int(cfg.dataset.num_classes)
+        packed_loss = make_packed_loss(loss_fn, pick_window_p(nc), nc)
+        apply_fn = build_packed_train_apply(
+            net, packed_probs=packed_loss is not None)
+    train_step = make_train_step(net, loss_fn, optimizer, apply_fn=apply_fn,
+                                 packed_loss=packed_loss)
 
     loss_csv = os.path.join(save_dir, "train_loss.csv")
     if primary and not os.path.isfile(loss_csv):

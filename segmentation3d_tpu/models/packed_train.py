@@ -84,10 +84,16 @@ def _bn(xp, P, bn_p, bn_s, train):
     return y.reshape(shape), new
 
 
-def build_packed_train_apply(net: SegmentationNet):
+def build_packed_train_apply(net: SegmentationNet, packed_probs: bool = False):
     """Returns ``apply_fn(variables, x, train=False, mutable=None)``
     mirroring ``net.apply`` (probs, or ``(probs, {"batch_stats": ...})``
-    when ``mutable`` contains "batch_stats")."""
+    when ``mutable`` contains "batch_stats").
+
+    ``packed_probs=True`` keeps the output in the packed x-major form
+    [B, D, H, W/Ph, Ph*nc] (``Ph = pick_window_p(nc)``) for a packed-domain
+    loss (``losses.packed``): unpacking to [.., W, nc] materializes a
+    minor-dim-``nc`` tensor that every loss op then reads lane-padded
+    128/nc — profiled at ~25% of the config-#3 train step."""
     if net.bottleneck:
         raise NotImplementedError("packed training forward supports the "
                                   "standard (non-bottleneck) V-Net blocks")
@@ -260,7 +266,10 @@ def build_packed_train_apply(net: SegmentationNet):
                                    (Ph,)).reshape(1, 1, 1, 1, -1)
         lg = logits.reshape(B, D, H, Wf // Ph, Ph, nc)
         prob = jax.nn.softmax(lg.astype(jnp.float32), axis=-1)
-        prob = prob.reshape(B, D, H, Wf, nc)
+        if packed_probs:
+            prob = prob.reshape(B, D, H, Wf // Ph, Ph * nc)
+        else:
+            prob = prob.reshape(B, D, H, Wf, nc)
 
         if mutable and "batch_stats" in mutable:
             return prob, {"batch_stats": _merged(s, stats_out)}

@@ -57,6 +57,20 @@ def vnet_forward_flops(patch_zyx, in_channels, out_channels,
     return total
 
 
+def vnet_train_step_flops(patch_zyx, in_channels, out_channels,
+                          batch: int = 1, **net_kwargs) -> float:
+    """Useful FLOPs of ONE training step (fwd + bwd) on ``batch`` patches.
+
+    Standard dense accounting: backward costs ~2x the forward (one
+    matmul-shaped pass for the activation cotangents, one for the weight
+    gradients), so a step is 3x the forward. Rematerialization re-executes
+    the forward inside backward — that extra forward is overhead, not
+    useful work, so MFU under ``remat=True`` is defined against this same
+    3x count (executed/useful ~ 4/3)."""
+    return 3.0 * batch * vnet_forward_flops(
+        patch_zyx, in_channels, out_channels, **net_kwargs)
+
+
 def sliding_window_flops(volume_zyx, patch_zyx, stride_zyx, in_channels,
                          out_channels, **net_kwargs) -> float:
     """Useful FLOPs of a whole sliding-window pass: per-patch forward FLOPs
