@@ -1,0 +1,96 @@
+// Native host-side codec for the TPU transfer path.
+//
+// The end-to-end inference pipeline (core/seg_infer.py) is bounded by the
+// ONE host core on this machine (BASELINE.md "End-to-end" section): every
+// stage that is not zlib (already C) is a numpy multi-pass over a ~100 MB
+// volume. This file collapses the two remaining numpy hot loops into
+// single-pass C++:
+//
+//   * the 12-bit upload pack (ops/volume_pack.py:pack_volume_np) — numpy
+//     needs ~6 vector passes (view, subtract, reshape, 2x shift, 2x or);
+//     seg3d_pack12_u16 does one read pass + one write pass;
+//   * the mask bit-unpack (ops/mask_pack.py:unpack_mask) — numpy's LUT
+//     gather materializes an index pass + a gather pass; seg3d_unpack_bits
+//     is one pass.
+//
+// The reference (SURVEY.md §2: zero first-party native code; it rides
+// SimpleITK's C++ for host work) has no analog for either op — they exist
+// because the TPU host link makes transfer bytes explicit. Loaded via
+// ctypes (segmentation3d_tpu/native/__init__.py) with a transparent numpy
+// fallback, so the framework works identically without a toolchain.
+//
+// Build: g++ -O3 -shared -fPIC codec.cpp -o libseg3dcodec.so  (see
+// native/__init__.py:_build, which does this lazily and caches by source
+// hash). No Python.h dependency — plain C ABI, arrays passed as pointers.
+
+#include <cstdint>
+#include <cstddef>
+
+extern "C" {
+
+// min/max over a 2-byte signed array (int16 CT volumes).
+void seg3d_minmax_i16(const int16_t* in, size_t n, int32_t* lo, int32_t* hi) {
+    if (n == 0) { *lo = 0; *hi = 0; return; }
+    int16_t mn = in[0], mx = in[0];
+    for (size_t i = 1; i < n; ++i) {
+        int16_t v = in[i];
+        if (v < mn) mn = v;
+        if (v > mx) mx = v;
+    }
+    *lo = mn; *hi = mx;
+}
+
+// min/max over a 2-byte unsigned array (uint16 MR / mask volumes).
+void seg3d_minmax_u16(const uint16_t* in, size_t n, int32_t* lo, int32_t* hi) {
+    if (n == 0) { *lo = 0; *hi = 0; return; }
+    uint16_t mn = in[0], mx = in[0];
+    for (size_t i = 1; i < n; ++i) {
+        uint16_t v = in[i];
+        if (v < mn) mn = v;
+        if (v > mx) mx = v;
+    }
+    *lo = mn; *hi = mx;
+}
+
+// (in[i] - lo) mod 2^16 -> uint8, for integer ranges < 256. `in` is the
+// uint16 VIEW of the stored 2-byte array (same trick as volume_pack._sub_u16:
+// wraparound subtraction is exact whenever the true difference fits 0..65535).
+void seg3d_sub_u8(const uint16_t* in, size_t n, uint16_t lo, uint8_t* out) {
+    for (size_t i = 0; i < n; ++i)
+        out[i] = (uint8_t)(uint16_t)(in[i] - lo);
+}
+
+// 12-bit pack: voxel pair (a, b) = (in[2i]-lo, in[2i+1]-lo) (mod 2^16,
+// both guaranteed < 4096 by the caller's range scan) becomes three byte
+// planes p0[i] = a & 0xFF, p1[i] = (a >> 8) | ((b & 0xF) << 4),
+// p2[i] = b >> 4 — the exact layout ops/volume_pack.py documents, inverted
+// on device by unpack_volume. Odd n duplicates the last voxel as numpy's
+// concatenate([u, u[-1:]]) does; npairs = (n + 1) / 2.
+void seg3d_pack12_u16(const uint16_t* in, size_t n, uint16_t lo,
+                      uint8_t* p0, uint8_t* p1, uint8_t* p2) {
+    size_t npairs = (n + 1) / 2;
+    for (size_t i = 0; i < npairs; ++i) {
+        uint16_t a = (uint16_t)(in[2 * i] - lo);
+        uint16_t b = (2 * i + 1 < n) ? (uint16_t)(in[2 * i + 1] - lo) : a;
+        p0[i] = (uint8_t)(a & 0xFF);
+        p1[i] = (uint8_t)((a >> 8) | ((b & 0xF) << 4));
+        p2[i] = (uint8_t)(b >> 4);
+    }
+}
+
+// Unpack bit-packed labels: each input byte holds 8/bits voxels, HIGH bits
+// first (np.packbits 'big' order — matches ops/mask_pack.pack_mask).
+// bits in {1, 2, 4}; out has nbytes * (8 / bits) entries.
+void seg3d_unpack_bits(const uint8_t* in, size_t nbytes, int bits,
+                       uint8_t* out) {
+    int vpb = 8 / bits;
+    uint8_t mask = (uint8_t)((1 << bits) - 1);
+    for (size_t i = 0; i < nbytes; ++i) {
+        uint8_t byte = in[i];
+        uint8_t* o = out + i * vpb;
+        for (int j = 0; j < vpb; ++j)
+            o[j] = (uint8_t)((byte >> (8 - bits * (j + 1))) & mask);
+    }
+}
+
+}  // extern "C"

@@ -65,6 +65,10 @@ def unpack_mask(packed: np.ndarray, n_last: int, num_classes: int) -> np.ndarray
     if bits == 1:
         g = np.unpackbits(p, axis=-1)  # 'big' order == pack_mask's layout
     else:
+        from segmentation3d_tpu import native
+        g = native.unpack_bits(p, bits)  # one C pass when available
+        if g is not None:
+            return g[..., :n_last]
         lut = _UNPACK_LUT.get(bits)
         if lut is None:
             shifts = (np.arange(vpb - 1, -1, -1, np.uint8) * np.uint8(bits))

@@ -56,17 +56,37 @@ def pack_volume_np(data: np.ndarray):
     ``meta = {"scheme", "lo", "shape"}``; ``packed`` is what to
     ``jax.device_put`` and :func:`unpack_volume` inverts it on device.
 
-    Host cost is a few uint8/uint16 vector passes over the volume (runs on
-    the read-ahead thread, overlapped with the previous case's transfer)."""
+    Host cost is one or two single passes over the volume when the native
+    codec is available (``native/codec.cpp`` — ~6x fewer memory passes than
+    the numpy formulation on the common int16-CT case), else a few
+    uint8/uint16 numpy vector passes (runs on the read-ahead thread,
+    overlapped with the previous case's transfer)."""
+    from segmentation3d_tpu import native
+
     shape = tuple(int(s) for s in data.shape)
     if data.dtype.type not in _INT_DTYPES:
         return data, {"scheme": "raw", "lo": 0, "shape": shape}
-    lo = int(data.min())
-    span = int(data.max()) - lo  # values fit [0, span]
+    mm = None
+    if data.dtype.itemsize == 2:
+        mm = native.minmax_2byte(data)
+    if mm is not None:
+        lo, hi = mm
+        span = hi - lo
+    else:
+        lo = int(data.min())
+        span = int(data.max()) - lo  # values fit [0, span]
     if span < 256:
+        if mm is not None:
+            out = native.sub_u8(data, lo)
+            if out is not None:
+                return out, {"scheme": "u8", "lo": lo, "shape": shape}
         return _sub_u16(data, lo).astype(np.uint8), \
             {"scheme": "u8", "lo": lo, "shape": shape}
     if span < 4096:
+        if mm is not None:
+            packed = native.pack12(data, lo)
+            if packed is not None:
+                return packed, {"scheme": "u12", "lo": lo, "shape": shape}
         u = _sub_u16(data, lo)
         if u.size % 2:
             u = np.concatenate([u, u[-1:]])
