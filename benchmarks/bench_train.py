@@ -29,6 +29,10 @@ def main():
                          "default) vs full activation storage (0)")
     ap.add_argument("--profile_dir", default=None,
                     help="jax.profiler trace dir (wraps the timed steps)")
+    ap.add_argument("--steps_per_dispatch", type=int, default=1,
+                    help="K>1 fuses K train steps into one program "
+                         "(make_multi_train_step) — amortizes the ~20 ms "
+                         "relay dispatch; args.steps must divide by K")
     args = ap.parse_args()
 
     import jax
@@ -95,6 +99,13 @@ def main():
             net, packed_probs=packed_loss is not None)
     step = make_train_step(net, loss_fn, optimizer, apply_fn=apply_fn,
                            packed_loss=packed_loss)
+    K = max(1, args.steps_per_dispatch)
+    if K > 1:
+        assert args.steps % K == 0, "--steps must divide by K"
+        from segmentation3d_tpu.core.seg_train import make_multi_train_step
+        multi = make_multi_train_step(net, loss_fn, optimizer, K,
+                                      apply_fn=apply_fn,
+                                      packed_loss=packed_loss)
 
     # the REAL train loop's background prefetcher (crop/normalize batch b+1
     # while the device runs step b) — without it this measured the host
@@ -106,20 +117,39 @@ def main():
         for _ in range(n):
             yield int(rng.integers(0, len(ds)))
 
-    warm = _BatchPrefetcher(ds, index_stream(args.batch), args.batch, mesh)
-    im, sg, _, _ = next(warm)
-    params, stats, opt_state, loss = step(params, stats, opt_state, im, sg)
-    float(loss)  # warm-up/compile
+    warm = _BatchPrefetcher(ds, index_stream(args.batch * max(1, K)),
+                            args.batch, mesh, depth=K + 1)
+    if K > 1:
+        group = [next(warm) for _ in range(K)]
+        params, stats, opt_state, losses = multi(
+            params, stats, opt_state,
+            *[b[0] for b in group], *[b[1] for b in group])
+        float(losses[-1])  # warm-up/compile
+    else:
+        im, sg, _, _ = next(warm)
+        params, stats, opt_state, loss = step(params, stats, opt_state, im, sg)
+        float(loss)  # warm-up/compile
     warm.stop()
 
     prefetcher = _BatchPrefetcher(
-        ds, index_stream(args.steps * args.batch), args.batch, mesh)
+        ds, index_stream(args.steps * args.batch), args.batch, mesh,
+        depth=K + 1)
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
     t0 = time.perf_counter()
-    for im, sg, _, _ in prefetcher:
-        params, stats, opt_state, loss = step(params, stats, opt_state, im, sg)
-    float(loss)
+    if K > 1:
+        it = iter(prefetcher)
+        for _ in range(args.steps // K):
+            group = [next(it) for _ in range(K)]
+            params, stats, opt_state, losses = multi(
+                params, stats, opt_state,
+                *[b[0] for b in group], *[b[1] for b in group])
+        float(losses[-1])
+    else:
+        for im, sg, _, _ in prefetcher:
+            params, stats, opt_state, loss = step(
+                params, stats, opt_state, im, sg)
+        float(loss)
     dt = (time.perf_counter() - t0) / args.steps
     if args.profile_dir:
         jax.profiler.stop_trace()

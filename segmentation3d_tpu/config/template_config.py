@@ -66,3 +66,7 @@ __C.tpu.dtype = "float32"                       # float32 | bfloat16
 __C.tpu.remat = True                            # checkpoint blocks (memory)
 __C.tpu.mesh = edict()
 __C.tpu.mesh.data = -1                          # -1 = all devices
+__C.tpu.steps_per_dispatch = 1                  # K>1 fuses K train steps
+                                                # into one program (scan) —
+                                                # amortizes per-dispatch
+                                                # host latency

@@ -117,22 +117,13 @@ class _BatchPrefetcher:
         return item
 
 
-def make_train_step(net, loss_fn, optimizer, apply_fn=None, packed_loss=None):
-    """Build the jitted SPMD train step (donated params/opt/batch-stats).
-
-    ``apply_fn``: optional replacement for ``net.apply`` with the same
-    calling convention (e.g. the packed-domain training forward,
-    ``models.packed_train.build_packed_train_apply``). ``packed_loss``:
-    optional ``fn(prob_packed, segs)`` used INSTEAD of ``loss_fn`` when
-    ``apply_fn`` emits packed-layout probabilities
-    (``build_packed_train_apply(net, packed_probs=True)`` +
-    ``losses.packed.make_packed_loss`` — same scalar, no thin-channel
-    unpacked tensors in the loss)."""
+def _make_step_body(net, loss_fn, apply_fn, packed_loss, optimizer):
+    """The un-jitted single-step body shared by the one-step and the
+    multi-step (scan) programs."""
     apply = apply_fn if apply_fn is not None else net.apply
     loss_call = packed_loss if packed_loss is not None else loss_fn
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_step(params, batch_stats, opt_state, images, segs):
+    def body(params, batch_stats, opt_state, images, segs):
         def loss_of(p):
             probs, mutated = apply(
                 {"params": p, "batch_stats": batch_stats}, images,
@@ -144,7 +135,72 @@ def make_train_step(net, loss_fn, optimizer, apply_fn=None, packed_loss=None):
         new_params = optax.apply_updates(params, updates)
         return new_params, new_stats, new_opt, loss
 
-    return train_step
+    return body
+
+
+def make_train_step(net, loss_fn, optimizer, apply_fn=None, packed_loss=None):
+    """Build the jitted SPMD train step (donated params/opt/batch-stats).
+
+    ``apply_fn``: optional replacement for ``net.apply`` with the same
+    calling convention (e.g. the packed-domain training forward,
+    ``models.packed_train.build_packed_train_apply``). ``packed_loss``:
+    optional ``fn(prob_packed, segs)`` used INSTEAD of ``loss_fn`` when
+    ``apply_fn`` emits packed-layout probabilities
+    (``build_packed_train_apply(net, packed_probs=True)`` +
+    ``losses.packed.make_packed_loss`` — same scalar, no thin-channel
+    unpacked tensors in the loss)."""
+    body = _make_step_body(net, loss_fn, apply_fn, packed_loss, optimizer)
+    return functools.partial(jax.jit, donate_argnums=(0, 1, 2))(body)
+
+
+def make_multi_train_step(net, loss_fn, optimizer, k, apply_fn=None,
+                          packed_loss=None):
+    """``k`` sequential train steps fused into ONE jitted program
+    (``lax.scan`` over the single-step body; batch stacking happens INSIDE
+    the jit so one dispatch covers the whole group).
+
+    Why: on the axon relay every program dispatch costs ~20-25 ms of host
+    latency (CLAUDE.md); the profiled 96^3/batch-8 step is 108.9 ms of
+    device time vs ~131 ms of wall — per-step dispatch is the residual.
+    Semantics are EXACTLY ``k`` sequential steps: params/BN stats/optimizer
+    state thread through the scan carry; returns the per-step losses
+    ``[k]``. Call as ``multi_step(params, stats, opt, *images_k, *segs_k)``
+    with ``k`` image and ``k`` seg batches."""
+    body = _make_step_body(net, loss_fn, apply_fn, packed_loss, optimizer)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def multi_step(params, batch_stats, opt_state, *flat):
+        assert len(flat) == 2 * k
+        images = jnp.stack(flat[:k])
+        segs = jnp.stack(flat[k:])
+
+        def scan_body(carry, xs):
+            p, bs, o = carry
+            im, sg = xs
+            np_, nbs, no, loss = body(p, bs, o, im, sg)
+            return (np_, nbs, no), loss
+
+        (params, batch_stats, opt_state), losses = jax.lax.scan(
+            scan_body, (params, batch_stats, opt_state), (images, segs))
+        return params, batch_stats, opt_state, losses
+
+    return multi_step
+
+
+def _group_len(batch_idx, k, total_batches, batchsize, dataset_len,
+               prev_epoch, save_epochs, last_saved_epoch):
+    """How many of the next ``k`` batches can run in one dispatch without
+    crossing a checkpoint/validation boundary (a save may fire only after
+    the LAST batch of a group — this mirrors the per-batch fire condition
+    of the train loop exactly)."""
+    k = min(k, total_batches - batch_idx)
+    pe = prev_epoch
+    for j in range(k):
+        e = ((batch_idx + j) * batchsize) // dataset_len
+        if e != pe and e % save_epochs == 0 and e != last_saved_epoch:
+            return j + 1
+        pe = e
+    return max(k, 1)
 
 
 def train(config_file: str):
@@ -296,6 +352,20 @@ def train(config_file: str):
             net, packed_probs=packed_loss is not None)
     train_step = make_train_step(net, loss_fn, optimizer, apply_fn=apply_fn,
                                  packed_loss=packed_loss)
+    # cfg.tpu.steps_per_dispatch = K > 1 fuses K train steps into one
+    # program (make_multi_train_step): one ~20 ms relay dispatch per K
+    # steps instead of per step. Semantics identical (scan carry); groups
+    # clamp at save/validate boundaries (single steps there), and debug
+    # input dumps force K=1 (they need per-batch host data).
+    steps_per_dispatch = max(
+        1, int(cfg.get("tpu", {}).get("steps_per_dispatch", 1)))
+    if cfg.debug.get("save_inputs", False):
+        steps_per_dispatch = 1
+    multi_step = None
+    if steps_per_dispatch > 1:
+        multi_step = make_multi_train_step(
+            net, loss_fn, optimizer, steps_per_dispatch, apply_fn=apply_fn,
+            packed_loss=packed_loss)
 
     loss_csv = os.path.join(save_dir, "train_loss.csv")
     if primary and not os.path.isfile(loss_csv):
@@ -374,8 +444,10 @@ def train(config_file: str):
     total_batches = (dataset_len * epochs) // batchsize
     logger.info(f"training: {dataset_len} cases, {epochs} epochs, batch {batchsize}, "
                 f"{n_dev} device(s), net {cfg.net.name}, loss {cfg.loss.name}")
+    prefetch_depth = max(1, int(cfg.train.get("num_threads", 1)),
+                         steps_per_dispatch + 1)
     prefetcher = _BatchPrefetcher(dataset, indices, batchsize, mesh,
-                                  depth=max(1, int(cfg.train.get("num_threads", 1))))
+                                  depth=prefetch_depth)
 
     # Loss readback is DEFERRED: float(loss) every step forces a device
     # round-trip (25-70 ms on the relay) inside a ~0.4 s step. Device
@@ -383,7 +455,11 @@ def train(config_file: str):
     # points — identical log lines / train_loss.csv rows, just written in
     # small bursts.
     log_every = max(1, int(cfg.get("tpu", {}).get("log_every", 8)))
-    pending = []  # (epoch_idx, batch_idx, device_loss, step_seconds)
+    # (epoch_idx, batch_idx, device_loss_array, index_or_None, step_seconds);
+    # multi-step groups share ONE [K] loss array across their K entries
+    # (indexed at flush on host — slicing a device array per entry would be
+    # a dispatched program each on the relay)
+    pending = []
 
     def flush_logs():
         if not pending:
@@ -397,19 +473,61 @@ def train(config_file: str):
         # collective cliques in different orders and deadlock (measured on a
         # 2-process CPU/gloo cluster). Lockstep here costs one tiny
         # replicated-scalar readback per flush.
-        vals = jax.device_get([p[2] for p in pending])
+        arrs, order = [], {}
+        for _, _, arr, _, _ in pending:
+            if id(arr) not in order:
+                order[id(arr)] = len(arrs)
+                arrs.append(arr)
+        host_vals = jax.device_get(arrs)
         if not primary:  # one process owns train_log.txt / train_loss.csv
             pending.clear()
             return
         with open(loss_csv, "a") as f:
-            for (ep, bi, _, dt), lv in zip(pending, vals):
+            for ep, bi, arr, j, dt in pending:
+                v = host_vals[order[id(arr)]]
+                lv = float(v if j is None else v[j])
                 logger.info(f"epoch: {ep}, batch: {bi}, "
-                            f"train loss: {float(lv):.4f}, time: {dt:.4f} s")
-                f.write(f"{ep},{bi},{float(lv)}\n")
+                            f"train loss: {lv:.4f}, time: {dt:.4f} s")
+                f.write(f"{ep},{bi},{lv}\n")
         pending.clear()
 
     while batch_idx < total_batches:
+        k_eff = 1
+        if multi_step is not None:
+            g = _group_len(batch_idx, steps_per_dispatch, total_batches,
+                           batchsize, dataset_len, prev_epoch, save_epochs,
+                           last_saved_epoch)
+            # a shorter group (save boundary / run tail) falls back to
+            # single steps — only TWO compiled programs ever exist
+            if g == steps_per_dispatch:
+                k_eff = g
         t0 = time.time()
+        if k_eff > 1:
+            try:
+                group = [next(prefetcher) for _ in range(k_eff)]
+            except StopIteration:
+                break
+            args = [b[0] for b in group] + [b[1] for b in group]
+            params, batch_stats, opt_state, losses = multi_step(
+                params, batch_stats, opt_state, *args)
+            dt = time.time() - t0
+            for j in range(k_eff):
+                bi = batch_idx + j
+                e = (bi * batchsize) // dataset_len
+                pending.append((e, bi, losses, j, dt / k_eff))
+                # by _group_len construction a save can fire only at the
+                # group's last batch; the check mirrors the K=1 path
+                if e != prev_epoch and e % save_epochs == 0 \
+                        and e != last_saved_epoch:
+                    flush_logs()
+                    save(e, bi)
+                    validate(e)
+                    last_saved_epoch = e
+                prev_epoch = e
+            batch_idx += k_eff
+            if len(pending) >= log_every:
+                flush_logs()
+            continue
         try:
             images, segs, frames, names = next(prefetcher)
         except StopIteration:
@@ -419,7 +537,7 @@ def train(config_file: str):
         dt = time.time() - t0
 
         epoch_idx = (batch_idx * batchsize) // dataset_len
-        pending.append((epoch_idx, batch_idx, loss, dt))
+        pending.append((epoch_idx, batch_idx, loss, None, dt))
         if len(pending) >= log_every:
             flush_logs()
 

@@ -1,0 +1,144 @@
+"""Multi-step fused training dispatch (cfg.tpu.steps_per_dispatch):
+make_multi_train_step must be EXACTLY K sequential make_train_step calls
+(scan carry threads params/BN stats/optimizer state), and the train-loop
+wiring must keep the save/log contract of the K=1 path."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from phantoms import make_sphere_case, make_train_list, write_train_config
+from segmentation3d_tpu.core.seg_train import (
+    make_train_step, make_multi_train_step, _group_len)
+from segmentation3d_tpu.losses import MultiDiceLoss
+from segmentation3d_tpu.models.vnet import SegmentationNet
+
+rng = np.random.default_rng(0)
+
+
+def _setup(k=3, batch=2, shape=(16, 16, 32)):
+    net = SegmentationNet(in_channels=1, out_channels=2, base_channels=4)
+    x0 = jnp.zeros((batch,) + shape + (1,), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x0, train=False)
+    opt = optax.adam(1e-3)
+    images = [jnp.asarray(rng.normal(size=x0.shape), jnp.float32)
+              for _ in range(k)]
+    segs = [jnp.asarray(rng.integers(0, 2, size=x0.shape[:4]), jnp.int32)
+            for _ in range(k)]
+    return net, variables, opt, images, segs
+
+
+def test_multi_step_equals_sequential():
+    k = 3
+    net, variables, opt, images, segs = _setup(k=k)
+    loss_fn = MultiDiceLoss(num_class=2)
+
+    copy = lambda t: jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), t)
+    step = make_train_step(net, loss_fn, opt)
+    p, s = copy(variables["params"]), copy(variables["batch_stats"])
+    o = opt.init(p)
+    seq_losses = []
+    for im, sg in zip(images, segs):
+        p, s, o, loss = step(p, s, o, im, sg)
+        seq_losses.append(float(loss))
+
+    multi = make_multi_train_step(net, loss_fn, opt, k)
+    p2, s2 = copy(variables["params"]), copy(variables["batch_stats"])
+    o2 = opt.init(p2)
+    p2, s2, o2, losses = multi(p2, s2, o2, *images, *segs)
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(seq_losses),
+                               rtol=1e-5, atol=1e-6)
+    # conv biases feeding a BatchNorm have mathematically-zero gradients;
+    # Adam turns their float-noise grads into lr-scale sign flips that
+    # legitimately differ between the scan and sequential compilations (and
+    # cancel exactly in the forward). Compare every OTHER leaf tightly...
+    for path, leaf in jax.tree_util.tree_leaves_with_path(p):
+        if path[-1].key == "bias":
+            continue
+        got = dict(jax.tree_util.tree_leaves_with_path(p2))[path]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(leaf),
+                                   rtol=1e-3, atol=1e-4, err_msg=str(path))
+    # running stats track the (noisy-bias-shifted) conv outputs, so they
+    # inherit the same lr-noise scale; the shift cancels at eval
+    for path, leaf in jax.tree_util.tree_leaves_with_path(s):
+        got = dict(jax.tree_util.tree_leaves_with_path(s2))[path]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(leaf),
+                                   rtol=2e-3, atol=1e-4, err_msg=str(path))
+    # ...and the function the two parameter sets compute
+    xe = jnp.asarray(rng.normal(size=images[0].shape), jnp.float32)
+    out1 = net.apply({"params": p, "batch_stats": s}, xe, train=False)
+    out2 = net.apply({"params": p2, "batch_stats": s2}, xe, train=False)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out1), atol=2e-3)
+
+
+def test_group_len_clamps_at_save_boundary():
+    # dataset_len 4, batchsize 2 -> 2 batches/epoch; save_epochs=2 ->
+    # a save fires when epoch_idx becomes 2 at batch 4 (after batch 4 runs)
+    kw = dict(total_batches=20, batchsize=2, dataset_len=4,
+              save_epochs=2, last_saved_epoch=-1)
+    # from batch 0 (prev_epoch 0): batches 0..3 are epochs 0,0,1,1;
+    # batch 4 is epoch 2 -> fires; group of 8 clamps to 5
+    assert _group_len(0, 8, prev_epoch=0, **kw) == 5
+    # right after the fire (last_saved 2): full group fits until epoch 4
+    kw2 = dict(kw, last_saved_epoch=2)
+    assert _group_len(5, 3, prev_epoch=2, **kw2) == 3
+    # tail clamp
+    assert _group_len(18, 8, prev_epoch=8, **dict(kw, save_epochs=100)) == 2
+
+
+@pytest.mark.parametrize("spd", [4])
+def test_train_loop_multi_step_matches_single(tmp_path, spd):
+    """train() with steps_per_dispatch=K writes the same train_loss.csv
+    rows (same epoch/batch columns, near-identical losses), saves the same
+    checkpoints, and reaches the same parameters as the K=1 run."""
+    data = tmp_path / "data"
+    cases = [make_sphere_case(str(data), f"c{i}", shape_zyx=(32, 32, 32),
+                              seed=i) for i in range(2)]
+    lst = make_train_list(str(tmp_path / "train.txt"), cases)
+
+    def run(tag, extra):
+        save_dir = str(tmp_path / f"model_{tag}")
+        cfg_path = write_train_config(
+            str(tmp_path / f"config_{tag}.py"), lst, save_dir,
+            crop_size=(32, 32, 32), epochs=10, batchsize=2, lr=3e-3,
+            save_epochs=4, sampling_method="CENTER",
+            extra="__C.net.base_channels = 4\n" + extra)
+        from segmentation3d_tpu.core.seg_train import train
+        train(cfg_path)
+        return save_dir
+
+    d1 = run("k1", "")
+    dk = run(f"k{spd}", "__C.tpu = edict()\n"
+                        f"__C.tpu.steps_per_dispatch = {spd}\n")
+
+    rows1 = open(os.path.join(d1, "train_loss.csv")).read().splitlines()
+    rowsk = open(os.path.join(dk, "train_loss.csv")).read().splitlines()
+    assert len(rows1) == len(rowsk)
+    for r1, rk in zip(rows1[1:], rowsk[1:]):
+        e1, b1, l1 = r1.split(",")
+        ek, bk, lk = rk.split(",")
+        assert (e1, b1) == (ek, bk)
+        assert abs(float(l1) - float(lk)) < 1e-3, (r1, rk)
+    chk1 = sorted(os.listdir(os.path.join(d1, "checkpoints")))
+    chkk = sorted(os.listdir(os.path.join(dk, "checkpoints")))
+    assert chk1 == chkk
+
+    # Param-level closeness after 50 chaotic optimizer steps is not a sound
+    # assertion (per-step float noise amplifies along the trajectory; the
+    # EXACT equivalence check is test_multi_step_equals_sequential). The
+    # e2e contract: same log rows (above) and the two final models segment
+    # the training case identically.
+    from segmentation3d_tpu.core.seg_infer import segmentation
+    from segmentation3d_tpu.io import read_image
+    preds = []
+    for d in (d1, dk):
+        out = str(tmp_path / f"out_{os.path.basename(d)}")
+        res = segmentation(cases[0][0][0], d, out, seg_name="seg.nii.gz",
+                           batch_size=1)
+        preds.append(read_image(os.path.join(out, res[0][0],
+                                             "seg.nii.gz")).data)
+    agree = float((preds[0] == preds[1]).mean())
+    assert agree > 0.995, f"K=1 vs K={spd} mask agreement {agree:.4f}"
