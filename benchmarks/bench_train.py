@@ -92,9 +92,7 @@ def main():
     if args.conv_backend == "packed_domain":
         from segmentation3d_tpu.models.packed_train import build_packed_train_apply
         from segmentation3d_tpu.losses.packed import make_packed_loss
-        from segmentation3d_tpu.ops.packed_conv import pick_window_p
-        packed_loss = make_packed_loss(loss_fn, pick_window_p(args.classes),
-                                       args.classes)
+        packed_loss = make_packed_loss(loss_fn, None, args.classes)
         apply_fn = build_packed_train_apply(
             net, packed_probs=packed_loss is not None)
     step = make_train_step(net, loss_fn, optimizer, apply_fn=apply_fn,

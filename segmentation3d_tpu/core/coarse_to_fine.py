@@ -140,11 +140,14 @@ def _build_c2f_session(coarse_model_dir, fine_model_dir, dtype, patch,
         if dtype != jnp.bfloat16 or jax.default_backend() == "cpu":
             return
         try:
-            if patch_w % 32 == 0:
+            from segmentation3d_tpu.models.packed_vnet import _p_for
+            if patch_w % _p_for(model.net.base_channels) == 0:
                 from segmentation3d_tpu.models.packed_vnet import (
                     build_packed_forward)
+                from segmentation3d_tpu.ops.packed_conv import head_p_for
                 model.fused_apply, model.fused_vars = build_packed_forward(
-                    model.net, model.variables, dtype=dtype)
+                    model.net, model.variables, dtype=dtype,
+                    head_p=head_p_for(patch_w, model.net.out_channels))
             else:
                 from segmentation3d_tpu.models.fused_vnet import (
                     build_fused_forward)

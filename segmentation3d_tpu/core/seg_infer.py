@@ -538,14 +538,23 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
         fused is off or the architecture is unsupported."""
         if not fused:
             return None, None
-        key = "packed" if patch[2] % 32 == 0 else "window"
+        from segmentation3d_tpu.models.packed_vnet import _p_for
+        from segmentation3d_tpu.ops.packed_conv import head_p_for
+        p0 = _p_for(model.net.base_channels)
+        if patch[2] % p0 == 0:
+            # head packing adapts to the patch width (W-divisible; the
+            # proj kernel is numpy-prebuilt so it keys the builder cache)
+            ph = head_p_for(patch[2], model.net.out_channels)
+            key = ("packed", ph)
+        else:
+            key = "window"
         if key not in _builders:
             try:
-                if key == "packed":
+                if key != "window":
                     from segmentation3d_tpu.models.packed_vnet import (
                         build_packed_forward)
                     _builders[key] = build_packed_forward(
-                        model.net, model.variables, dtype=dtype)
+                        model.net, model.variables, dtype=dtype, head_p=ph)
                 else:
                     from segmentation3d_tpu.models.fused_vnet import (
                         build_fused_forward)

@@ -262,10 +262,14 @@ def train(config_file: str):
         raise ValueError(
             f"cfg.tpu.conv_backend {conv_backend!r} is not one of "
             "'direct', 'window', 'packed_domain'")
-    if conv_backend == "packed_domain" and int(crop_size[0]) % 32 != 0:
-        raise ValueError(
-            f"conv_backend 'packed_domain' requires crop width (crop_size x "
-            f"= {int(crop_size[0])}) % 32 == 0; use 'window' otherwise")
+    if conv_backend == "packed_domain":
+        from segmentation3d_tpu.models.packed_vnet import _p_for
+        p0 = _p_for(int(cfg.net.get("base_channels", 16)))
+        if int(crop_size[0]) % p0 != 0:
+            raise ValueError(
+                f"conv_backend 'packed_domain' requires crop width "
+                f"(crop_size x = {int(crop_size[0])}) % {p0} == 0 (the "
+                f"in_block packing); use 'window' otherwise")
     # optional architecture hyper-params from cfg.net (recorded in checkpoints
     # so inference rebuilds the exact same net)
     net_kwargs = {k: cfg.net[k] for k in
@@ -345,9 +349,10 @@ def train(config_file: str):
     if conv_backend == "packed_domain":
         from segmentation3d_tpu.models.packed_train import build_packed_train_apply
         from segmentation3d_tpu.losses.packed import make_packed_loss
-        from segmentation3d_tpu.ops.packed_conv import pick_window_p
         nc = int(cfg.dataset.num_classes)
-        packed_loss = make_packed_loss(loss_fn, pick_window_p(nc), nc)
+        # P=None: inferred from the head output's shape, matching the
+        # forward's W-adaptive head packing
+        packed_loss = make_packed_loss(loss_fn, None, nc)
         apply_fn = build_packed_train_apply(
             net, packed_probs=packed_loss is not None)
     train_step = make_train_step(net, loss_fn, optimizer, apply_fn=apply_fn,

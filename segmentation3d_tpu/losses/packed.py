@@ -101,28 +101,35 @@ def focal_loss_packed(prob_packed, seg, P: int, num_class: int, alpha=None,
     return jnp.sum(term) / n_vox
 
 
-def make_packed_loss(loss_obj, P: int, num_class: int):
+def make_packed_loss(loss_obj, P: int | None, num_class: int):
     """Packed twin of a reference loss object, or None if it has none.
 
     Returns ``fn(prob_packed, seg) -> scalar`` computing the same value as
     ``loss_obj(prob_unpacked, seg)``. The train loop uses this together
     with ``build_packed_train_apply(net, packed_probs=True)`` so the loss
     runs in the packed domain; any loss without a packed twin falls back
-    to the unpacked head output.
+    to the unpacked head output. ``P=None`` infers the packing per call
+    from the shapes (``W // cols`` — matches the forward's adaptive head
+    packing, ``ops.packed_conv.head_p_for``).
     """
+    def p_of(prob_packed, seg):
+        return P if P is not None else seg.shape[3] // prob_packed.shape[3]
+
     if isinstance(loss_obj, MultiDiceLoss):
         weights, eps = loss_obj.weights, loss_obj.eps
 
         def dice_fn(prob_packed, seg):
-            loss, _ = multi_dice_loss_packed(prob_packed, seg, P, num_class,
-                                             weights, eps)
+            loss, _ = multi_dice_loss_packed(
+                prob_packed, seg, p_of(prob_packed, seg), num_class,
+                weights, eps)
             return loss
         return dice_fn
     if isinstance(loss_obj, FocalLoss):
         alpha, gamma = loss_obj.alpha, loss_obj.gamma
 
         def focal_fn(prob_packed, seg):
-            return focal_loss_packed(prob_packed, seg, P, num_class, alpha,
-                                     gamma)
+            return focal_loss_packed(prob_packed, seg,
+                                     p_of(prob_packed, seg), num_class,
+                                     alpha, gamma)
         return focal_fn
     return None

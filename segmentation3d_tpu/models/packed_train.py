@@ -34,8 +34,9 @@ untouched — and computes the identical function in the packed domain:
 Selected with ``cfg.tpu.conv_backend = 'packed_domain'`` (wired in
 ``core.seg_train.train``, which passes this module's apply as the train
 step's ``apply_fn``; unknown backend strings are rejected there and in
-``models.vnet``). Constraint: crop W % 32 == 0 (same as the inference
-packed forward; enforced with a clear error at config load).
+``models.vnet``). Constraint: crop W % P0 == 0 where P0 is the in_block
+packing (8 for base_channels=16) — every max_stride-legal crop qualifies;
+the head packing Ph adapts to W (``ops.packed_conv.head_p_for``).
 """
 from __future__ import annotations
 
@@ -47,7 +48,7 @@ from segmentation3d_tpu.models.vnet import SegmentationNet
 from segmentation3d_tpu.ops.packed_conv import (
     window_kernels, window_conv_packed, down_kernel, down_conv_packed,
     deconv_gemm, deconv_unshuffle, concat_packed,
-    interleave_perm_np, pick_window_p, _conv_acc)
+    interleave_perm_np, head_p_for, _conv_acc)
 from segmentation3d_tpu.models.packed_vnet import _p_for
 
 _BN_MOMENTUM = 0.9
@@ -99,7 +100,7 @@ def build_packed_train_apply(net: SegmentationNet, packed_probs: bool = False):
     when ``mutable`` contains "batch_stats").
 
     ``packed_probs=True`` keeps the output in the packed x-major form
-    [B, D, H, W/Ph, Ph*nc] (``Ph = pick_window_p(nc)``) for a packed-domain
+    [B, D, H, W/Ph, Ph*nc] (``Ph = head_p_for(W, nc)``) for a packed-domain
     loss (``losses.packed``): unpacking to [.., W, nc] materializes a
     minor-dim-``nc`` tensor that every loss op then reads lane-padded
     128/nc — profiled at ~25% of the config-#3 train step."""
@@ -117,7 +118,6 @@ def build_packed_train_apply(net: SegmentationNet, packed_probs: bool = False):
     base = net.base_channels
     down_convs = list(net.down_convs)
     up_convs = list(net.up_convs)
-    Ph = pick_window_p(nc)
     P0 = _p_for(base)
 
     def alpha_of(pp, name="act"):
@@ -225,8 +225,11 @@ def build_packed_train_apply(net: SegmentationNet, packed_probs: bool = False):
         s = variables["batch_stats"]
         stats_out = {}
         B, D, H, W, _ = x.shape
-        assert W % 32 == 0, ("packed-domain training requires crop W % 32 "
-                             "== 0 (use conv_backend 'window' otherwise)")
+        assert W % P0 == 0, (
+            f"packed-domain training requires crop W % {P0} == 0 "
+            f"(the in_block packing for base_channels={base}); got W={W}")
+        # head packing adapts to W (>= 16 for max_stride-legal crops)
+        Ph = head_p_for(W, nc)
         xp = x.astype(dtype).reshape(B, D, H, W // P0, P0 * net.in_channels)
         xp, new = conv_bn_act(p["in_block"]["conv"], s["in_block"]["conv"],
                               xp, P0, net.in_channels, train)

@@ -28,9 +28,11 @@ linear memory order is exactly the unpacked (x, c) order for any P.
 
 Same two-phase structure and ``(apply_fn, fused_vars)`` interface as
 ``build_fused_forward`` (folded numpy kernels passed as jit arguments).
-Constraints: W % 32 == 0, D/H/W % max_stride == 0, standard
-(non-bottleneck) blocks — the caller falls back to ``build_fused_forward``
-otherwise. Forward-only (inference); cites reference
+Constraints: W % P0 == 0 (the in_block packing, 8 for base 16 — every
+max_stride-legal W qualifies) with the head packing chosen at build time
+(``head_p``, default 32 — pass ``head_p_for(W, nc)`` for other widths),
+D/H/W % max_stride == 0, standard (non-bottleneck) blocks — the caller
+falls back to ``build_fused_forward`` otherwise. Forward-only (inference); cites reference
 ``segmentation3d/network/vnet.py:SegmentationNet.forward`` (SURVEY §3.3)
 for the computed function.
 """
@@ -67,7 +69,8 @@ def _act(x, kind, alpha=0.25):
 
 
 def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
-                         accum: str | None = None):
+                         accum: str | None = None,
+                         head_p: int | None = None):
     """Returns ``(apply_fn, fused_vars)``; ``apply_fn(fused_vars, x)`` ==
     ``net.apply(variables, x, train=False)`` within bf16 tolerance.
 
@@ -78,7 +81,13 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
     own output precision (flax convs under ``dtype=bf16`` emit bf16), so
     argmax parity holds; the softmax head still computes in f32.
     Measured 68.7 -> 71.0 volumes/min on the 512^3 headline
-    (BASELINE.md round-3)."""
+    (BASELINE.md round-3).
+
+    ``head_p``: the head packing (the block-diagonal proj kernel is
+    prebuilt with numpy, so it is a BUILD-time choice). Default
+    ``pick_window_p(nc)`` = 32; pass ``head_p_for(W, nc)`` for patch
+    widths where 32 does not divide W (48, 80, 112, ... — every
+    max_stride-legal width packs at >= 16)."""
     if net.bottleneck:
         raise NotImplementedError("packed forward supports the standard "
                                   "(non-bottleneck) V-Net blocks")
@@ -180,7 +189,8 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
         reg_res(f"up_{c}/res", pp["res"], ss["res"], nconv, P, c)
         c //= 2
     # head: repack to the window head packing
-    Ph = pick_window_p(nc)
+    Ph = int(head_p) if head_p is not None else pick_window_p(nc)
+    assert Ph >= 1 and (Ph & (Ph - 1)) == 0, f"head_p {Ph} not a power of 2"
     reg_win("out_block/conv", p["out_block"]["conv"], s["out_block"]["conv"],
             Ph, 2 * base)
     # 1x1 proj as a block-diagonal GEMM over packed channels
@@ -231,7 +241,11 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
         see ``apply_fn.packed_head_p``)."""
         del train
         B, D, H, W, _ = x.shape
-        assert W % 32 == 0, "packed forward requires W % 32 == 0"
+        assert W % P0 == 0, (
+            f"packed forward requires W % {P0} == 0 (in_block packing)")
+        assert W % Ph == 0, (
+            f"W={W} is not divisible by the built head packing {Ph}; "
+            f"rebuild with head_p=head_p_for(W, nc)")
         x = x.astype(dtype)
         xp = x.reshape(B, D, H, W // P0, P0 * net.in_channels)
         xp = run_win("in_block/conv", fvars["in_block/conv"], xp)

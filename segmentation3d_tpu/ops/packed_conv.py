@@ -182,6 +182,19 @@ def pick_window_p(cout: int, target: int = 128, cap: int = 32) -> int:
     return p
 
 
+def head_p_for(W: int, cout: int, cap: int = 32) -> int:
+    """Largest power-of-2 head packing that DIVIDES ``W``, starting from
+    :func:`pick_window_p`'s lane-filling choice. Crop widths are always a
+    multiple of max_stride (16), so this is >= 16 in practice — it frees
+    the packed forwards from the historical ``W % 32 == 0`` constraint
+    (W = 48, 80, 112, ... now pack at Ph=16 instead of falling back to the
+    2.4x-slower window backend)."""
+    p = pick_window_p(cout, cap=cap)
+    while p > 1 and W % p:
+        p //= 2
+    return p
+
+
 def window_kernels(w, P: int):
     """[3,3,3,Cin,Cout] -> (mid, left, right) kernels for the window conv.
 

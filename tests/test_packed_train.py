@@ -80,6 +80,34 @@ def test_grads_match_flax(remat):
                                    err_msg=str(path))
 
 
+def test_adaptive_head_packing_w48():
+    """Crop widths that are max_stride-legal but not %32 (48, 80, 112, ...)
+    now run the packed training forward via the W-adaptive head packing
+    (Ph=16 for W=48) instead of requiring the window fallback — parity with
+    the flax forward and a packed-loss scalar matching the unpacked one."""
+    net, _, _ = _setup()
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 48, 1)), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+    ref = np.asarray(net.apply(variables, x, train=False))
+    apply_fn = build_packed_train_apply(net)
+    out = np.asarray(apply_fn(variables, x, train=False))
+    np.testing.assert_allclose(out, ref, atol=2e-3)
+
+    # packed-probs head at the adaptive Ph + shape-inferred packed loss
+    from segmentation3d_tpu.losses import MultiDiceLoss
+    from segmentation3d_tpu.losses.packed import make_packed_loss
+    from segmentation3d_tpu.ops.packed_conv import head_p_for
+    assert head_p_for(48, 2) == 16
+    seg = jnp.asarray(rng.integers(0, 2, size=x.shape[:4]), jnp.int32)
+    loss_fn = MultiDiceLoss(num_class=2)
+    packed_apply = build_packed_train_apply(net, packed_probs=True)
+    probs_packed = packed_apply(variables, x, train=False)
+    assert probs_packed.shape == (2, 16, 16, 3, 16 * 2)
+    ploss = make_packed_loss(loss_fn, None, 2)
+    ref_loss = float(loss_fn(jnp.asarray(ref), seg))
+    assert abs(float(ploss(probs_packed, seg)) - ref_loss) < 2e-3
+
+
 def test_bf16_train_parity():
     """Under dtype=bf16 the packed training forward emits bf16 conv outputs
     (no f32 activation materialization; bias added in f32 inside the BN

@@ -37,6 +37,30 @@ def test_parity_3class():
     _parity(1, 3, (16, 16, 64))
 
 
+def test_parity_adaptive_head_w48():
+    """W=48 (max_stride-legal, not %32) via head_p=head_p_for(48, nc)=16 —
+    the builder-selected path in seg_infer for such patch widths."""
+    from segmentation3d_tpu.ops.packed_conv import head_p_for
+    net = SegmentationNet(in_channels=1, out_channels=2)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 48, 1)), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+    ref = np.asarray(net.apply(variables, x, train=False))
+    ph = head_p_for(48, 2)
+    assert ph == 16
+    apply_fn, fv = build_packed_forward(net, variables, dtype=jnp.float32,
+                                        head_p=ph)
+    out = np.asarray(apply_fn(fv, x))
+    np.testing.assert_allclose(out, ref, atol=0.02)
+    # packed-head output keeps the adaptive Ph
+    pk = apply_fn(fv, x, return_packed=True)
+    assert pk.shape == (1, 16, 16, 48 // ph, ph * 2)
+    assert apply_fn.packed_head_p == ph
+    # mismatched width against a built head errors clearly (40 % 16 != 0)
+    xbad = jnp.zeros((1, 16, 16, 40, 1), jnp.float32)
+    with pytest.raises(AssertionError, match="head packing"):
+        apply_fn(fv, xbad)
+
+
 def test_parity_prelu():
     _parity(1, 2, (16, 16, 32), act="prelu")
 
