@@ -61,13 +61,19 @@ def _act(x, kind, alpha=0.25):
     raise ValueError(kind)
 
 
-def _xla_conv(x, w, b, strides=(1, 1, 1), padding="SAME", dtype=jnp.bfloat16):
-    out = jax.lax.conv_general_dilated(
-        x.astype(dtype), w.astype(dtype), strides, padding,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32)
+def _xla_conv(x, w, b, strides=(1, 1, 1), padding="SAME", dtype=jnp.bfloat16,
+              accum="f32"):
+    if accum == "bf16" and dtype == jnp.bfloat16:
+        out = jax.lax.conv_general_dilated(
+            x.astype(dtype), w.astype(dtype), strides, padding,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    else:
+        out = jax.lax.conv_general_dilated(
+            x.astype(dtype), w.astype(dtype), strides, padding,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32)
     if b is not None:
-        out = out + b.reshape(1, 1, 1, 1, -1).astype(jnp.float32)
+        out = out + b.reshape(1, 1, 1, 1, -1).astype(out.dtype)
     return out
 
 
@@ -78,7 +84,8 @@ def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
                         window_sites: frozenset | None = None,
                         use_deconv2x: bool = False,
                         wide_xy: bool = False,
-                        window_couts: tuple | None = None):
+                        window_couts: tuple | None = None,
+                        accum: str | None = None):
     """Two-phase build. Phase 1 (here, host numpy): fold BN into every conv,
     decide each site's lowering route (measured defaults below), and
     pre-pack window/packed kernels. Phase 2 (the returned ``apply_fn``,
@@ -90,6 +97,15 @@ def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
     ``pallas_sites``/``use_pallas`` widen the Pallas routing for experiments;
     on non-TPU backends Pallas is skipped (Mosaic kernels don't lower there).
     """
+    # ``accum="bf16"`` (the default under bf16): convs emit bf16 directly —
+    # the flax forward's own output precision, argmax-parity with the f32
+    # accumulation (same change as build_packed_forward; BASELINE round-3).
+    if accum is None:
+        accum = "bf16" if dtype == jnp.bfloat16 else "f32"
+    if accum not in ("f32", "bf16"):
+        raise ValueError(f"accum {accum!r} is not one of 'f32', 'bf16'")
+    if accum == "bf16" and dtype != jnp.bfloat16:
+        raise ValueError("accum='bf16' requires dtype=jnp.bfloat16")
     del wide_xy  # routing no longer shape-dependent (kept for API compat)
     if pallas_sites is None:
         # Pallas stays opt-in: the y-tiled head kernel wins isolated
@@ -216,21 +232,22 @@ def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
                                    interpret=interpret)
             # thin-width fallback: XLA conv (fv holds the plain folded w/b for
             # the pallas route), replicating conv+act and the fused residual
-            out = _xla_conv(x, v["w"], v["b"], dtype=dtype)
+            out = _xla_conv(x, v["w"], v["b"], dtype=dtype, accum=accum)
             out = _act(out, kind, alpha).astype(dtype)
             if x_res is not None:
                 out = _act(x_res + out, act_kind, m["res_alpha"]).astype(dtype)
             return out
+        conv_out = dtype if accum == "bf16" else jnp.float32
         if m["route"] == "window":
             out = window_conv3d_pre(x.astype(dtype), v["mid"], v["left"],
                                     v["right"], v["b"], P=m["P"], cout=cout,
-                                    out_dtype=jnp.float32)
+                                    out_dtype=conv_out, accum=accum)
         elif m["route"] == "packed":
             out = packed_conv3d_pre(x.astype(dtype), v["wk"], v["b"],
                                     P=m["P"], cout=cout,
-                                    out_dtype=jnp.float32)
+                                    out_dtype=conv_out, accum=accum)
         else:
-            out = _xla_conv(x, v["w"], v["b"], dtype=dtype)
+            out = _xla_conv(x, v["w"], v["b"], dtype=dtype, accum=accum)
         return _act(out, kind, alpha).astype(dtype)
 
     def run_strided(key, v, x):
@@ -243,14 +260,19 @@ def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
             out = deconv2x(x.astype(dtype), v["w"], v["b"],
                            out_dtype=jnp.float32)
         elif m["transpose"]:
-            out = jax.lax.conv_transpose(
-                x.astype(dtype), v["w"].astype(dtype), (2, 2, 2), "VALID",
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                preferred_element_type=jnp.float32)
-            out = out + v["b"].reshape(1, 1, 1, 1, -1).astype(jnp.float32)
+            if accum == "bf16":
+                out = jax.lax.conv_transpose(
+                    x.astype(dtype), v["w"].astype(dtype), (2, 2, 2), "VALID",
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            else:
+                out = jax.lax.conv_transpose(
+                    x.astype(dtype), v["w"].astype(dtype), (2, 2, 2), "VALID",
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                    preferred_element_type=jnp.float32)
+            out = out + v["b"].reshape(1, 1, 1, 1, -1).astype(out.dtype)
         else:
             out = _xla_conv(x, v["w"], v["b"], strides=(2, 2, 2),
-                            padding="VALID", dtype=dtype)
+                            padding="VALID", dtype=dtype, accum=accum)
         return _act(out, act_kind, m["alpha"]).astype(dtype)
 
     def run_res_block(key, fvars, x):

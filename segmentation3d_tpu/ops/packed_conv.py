@@ -117,7 +117,8 @@ def _conv_acc(x, w, strides, padding, dn, grad_safe, accum):
 
 
 def packed_conv3d_pre(x, wk, bp=None, *, P: int, cout: int,
-                      out_dtype=jnp.bfloat16, grad_safe: bool = False):
+                      out_dtype=jnp.bfloat16, grad_safe: bool = False,
+                      accum: str = "f32"):
     """:func:`packed_conv3d` with a PREBUILT packed kernel ``wk``
     [3,3,3,P*Cin,P*Cout] (and pre-tiled bias ``bp`` [P*Cout]). Used by the
     fused inference forward, which builds kernels once with numpy and passes
@@ -131,10 +132,10 @@ def packed_conv3d_pre(x, wk, bp=None, *, P: int, cout: int,
     if Wp != W:
         xq = jnp.pad(xq, ((0, 0),) * 3 + ((0, Wp - W), (0, 0)))
     xp = xq.reshape(B, D, H, Wp // P, P * cin_p)        # free reshape
-    out = _conv_f32(xp, wk.astype(cdtype), (1, 1, 1), "SAME",
-                    ("NDHWC", "DHWIO", "NDHWC"), grad_safe)
+    out = _conv_acc(xp, wk.astype(cdtype), (1, 1, 1), "SAME",
+                    ("NDHWC", "DHWIO", "NDHWC"), grad_safe, accum)
     if bp is not None:
-        out = out + bp.astype(jnp.float32).reshape(1, 1, 1, 1, -1)
+        out = out + bp.astype(out.dtype).reshape(1, 1, 1, 1, -1)
     out = out.reshape(B, D, H, Wp, cout)
     if Wp != W:
         out = out[:, :, :, :W]
@@ -264,8 +265,12 @@ def window_conv3d(x, w, b=None, P: int | None = None, out_dtype=jnp.bfloat16):
 
     mid, wl, wr = window_kernels(w.astype(cdtype), P)
     bp = None if b is None else jnp.tile(b.astype(jnp.float32), (P,))
+    # bf16 inputs: emit bf16 (matches the direct lowering's own numerics —
+    # no preferred_element_type — and skips the f32 intermediate)
+    accum = "bf16" if cdtype == jnp.bfloat16 else "f32"
     return window_conv3d_pre(x, mid, wl, wr, bp, P=P, cout=cout,
-                             out_dtype=out_dtype, grad_safe=True)
+                             out_dtype=out_dtype, grad_safe=True,
+                             accum=accum)
 
 
 def window_conv_packed(xp, mid, wl, wr, bp=None, *, P: int, cin: int,
@@ -313,7 +318,8 @@ def window_conv_packed(xp, mid, wl, wr, bp=None, *, P: int, cin: int,
 
 
 def window_conv3d_pre(x, mid, wl, wr, bp=None, *, P: int, cout: int,
-                      out_dtype=jnp.bfloat16, grad_safe: bool = False):
+                      out_dtype=jnp.bfloat16, grad_safe: bool = False,
+                      accum: str = "f32"):
     """:func:`window_conv3d` with PREBUILT (mid, left, right) kernels and
     pre-tiled bias — see :func:`packed_conv3d_pre` for why the fused forward
     passes kernels as arguments instead of closure constants."""
@@ -326,7 +332,7 @@ def window_conv3d_pre(x, mid, wl, wr, bp=None, *, P: int, cout: int,
         xq = jnp.pad(xq, ((0, 0),) * 3 + ((0, Wp - W), (0, 0)))
     xp = xq.reshape(B, D, H, cols, P * cin)       # free reshape
     out = window_conv_packed(xp, mid, wl, wr, bp, P=P, cin=cin,
-                             grad_safe=grad_safe)
+                             grad_safe=grad_safe, accum=accum)
     out = out.reshape(B, D, H, Wp, cout)
     if Wp != W:
         out = out[:, :, :, :W]

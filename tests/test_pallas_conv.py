@@ -91,6 +91,27 @@ def test_fused_forward_matches_net():
     assert agree > 0.99
 
 
+def test_fused_forward_bf16_accum():
+    """The fused forward under dtype=bf16 defaults to accum='bf16' (convs
+    emit bf16 — the flax forward's own output precision): argmax agreement
+    with the f32 reference and closeness to the accum='f32' build."""
+    from segmentation3d_tpu.models.vnet import SegmentationNet
+    from segmentation3d_tpu.models.fused_vnet import build_fused_forward
+    net = SegmentationNet(in_channels=1, out_channels=2, base_channels=4)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 1)), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+    ref = np.asarray(net.apply(variables, x, train=False))
+    fused, fv = build_fused_forward(net, variables, dtype=jnp.bfloat16)
+    out = np.asarray(fused(fv, x))
+    agree = np.mean(np.argmax(out, -1) == np.argmax(ref, -1))
+    assert agree > 0.98
+    f32_fn, f32_fv = build_fused_forward(net, variables, dtype=jnp.bfloat16,
+                                         accum="f32")
+    np.testing.assert_allclose(out, np.asarray(f32_fn(f32_fv, x)), atol=0.05)
+    with pytest.raises(ValueError):
+        build_fused_forward(net, variables, dtype=jnp.float32, accum="bf16")
+
+
 def test_fused_forward_pallas_thin_width_falls_back():
     """use_pallas builds must not route widths < 8 into the Mosaic kernel
     (it needs >= 8 x-positions): a shallow net whose stem sees W=4 still
