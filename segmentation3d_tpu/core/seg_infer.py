@@ -32,7 +32,7 @@ from segmentation3d_tpu.ops.resample import (
 from segmentation3d_tpu.utils import model_io
 from segmentation3d_tpu.utils.normalizer import normalizer_from_dict
 
-IMAGE_EXTS = (".nii.gz", ".nii", ".mha", ".mhd", ".hdr")
+IMAGE_EXTS = (".nii.gz", ".nii", ".mha", ".mhd", ".nrrd", ".nhdr", ".hdr")
 
 DISABLE, SIZE, NUM, SLAB = "DISABLE", "SIZE", "NUM", "SLAB"
 

@@ -87,7 +87,7 @@ class _Case:
         self.dev_seg = None
         self.nbytes = 0
         base = os.path.basename(im_paths[0])
-        for suf in (".nii.gz", ".nii", ".mha", ".mhd"):
+        for suf in (".nii.gz", ".nii", ".mha", ".mhd", ".nrrd", ".nhdr"):
             if base.endswith(suf):
                 base = base[: -len(suf)]
                 break

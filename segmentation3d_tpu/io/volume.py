@@ -36,6 +36,7 @@ class Volume:
 
 _NIFTI_EXTS = (".nii", ".nii.gz")
 _MHA_EXTS = (".mha", ".mhd")
+_NRRD_EXTS = (".nrrd", ".nhdr")
 # two-file pairs: NIfTI-1 "ni1" or plain Analyze 7.5 headers (io.nifti)
 _PAIR_EXTS = (".hdr", ".img", ".img.gz")
 
@@ -55,6 +56,9 @@ def read_image(path, dtype=None) -> Volume:
         data, frame = nifti.read_nifti(path)
     elif ext in _MHA_EXTS:
         data, frame = mha.read_mha(path)
+    elif ext in _NRRD_EXTS:
+        from segmentation3d_tpu.io import nrrd
+        data, frame = nrrd.read_nrrd(path)
     elif ext in _PAIR_EXTS:
         data, frame = nifti.read_hdr_img(path)
     elif os.path.isdir(path):
@@ -75,6 +79,9 @@ def write_image(vol: Volume, path) -> None:
         nifti.write_nifti(path, vol.data, vol.frame)
     elif ext in _MHA_EXTS:
         mha.write_mha(path, vol.data, vol.frame)
+    elif ext in _NRRD_EXTS:
+        from segmentation3d_tpu.io import nrrd
+        nrrd.write_nrrd(path, vol.data, vol.frame)
     elif ext in _PAIR_EXTS:
         nifti.write_hdr_img(path, vol.data, vol.frame)
     else:

@@ -123,3 +123,124 @@ def test_hdr_missing_img_errors(tmp_path):
     (tmp_path / "m.img").unlink()
     with pytest.raises(FileNotFoundError):
         read_image(tmp_path / "m.hdr")
+
+
+# ---------------------------------------------------------------------------
+# NRRD (.nrrd / .nhdr) — io/nrrd.py
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ext", [".nrrd", ".nhdr"])
+@pytest.mark.parametrize("dtype", [np.float32, np.int16, np.uint8])
+def test_nrrd_roundtrip(tmp_path, ext, dtype):
+    v = _vol(dtype)
+    p = tmp_path / f"vol{ext}"
+    write_image(v, p)
+    if ext == ".nhdr":
+        assert (tmp_path / "vol.raw").exists()  # detached raw data file
+    v2 = read_image(p)
+    assert v2.data.dtype == np.dtype(dtype)
+    np.testing.assert_array_equal(v2.data, v.data)
+    assert v2.frame.isclose(v.frame, tol=1e-6)
+
+
+def test_nrrd_cross_format_frame_agreement(tmp_path):
+    v = _vol(np.float32)
+    write_image(v, tmp_path / "a.nii.gz")
+    write_image(v, tmp_path / "a.nrrd")
+    a = read_image(tmp_path / "a.nii.gz")
+    b = read_image(tmp_path / "a.nrrd")
+    np.testing.assert_allclose(a.data, b.data)
+    assert a.frame.isclose(b.frame, tol=1e-4)
+
+
+def test_nrrd_direction_roundtrip(tmp_path):
+    rng = np.random.default_rng(11)
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    v = Volume(rng.normal(size=(4, 5, 6)).astype(np.float32),
+               Frame(origin=(0, 1, 2), spacing=(1, 2, 3), direction=q))
+    write_image(v, tmp_path / "d.nrrd")
+    v2 = read_image(tmp_path / "d.nrrd")
+    assert v2.frame.isclose(v.frame, tol=1e-6)
+    np.testing.assert_allclose(v2.data, v.data)
+
+
+def test_nrrd_detached_gzip(tmp_path):
+    from segmentation3d_tpu.io.nrrd import write_nrrd
+    v = _vol(np.int16)
+    write_nrrd(tmp_path / "g.nhdr", v.data, v.frame, compress=True)
+    assert (tmp_path / "g.raw.gz").exists()
+    v2 = read_image(tmp_path / "g.nhdr")
+    np.testing.assert_array_equal(v2.data, v.data)
+    assert v2.frame.isclose(v.frame, tol=1e-6)
+
+
+def test_nrrd_ras_space_converts_to_lps(tmp_path):
+    """A hand-written RAS-space NRRD (what Slicer saves by default) must read
+    into the LPS world frame used everywhere else: world x/y components of
+    origin and directions flip sign (matching ITK's NRRD reader)."""
+    data = np.arange(2 * 3 * 4, dtype=np.int16).reshape(2, 3, 4)
+    hdr = "\n".join([
+        "NRRD0004",
+        "type: short",
+        "dimension: 3",
+        "space: right-anterior-superior",
+        "sizes: 4 3 2",
+        "space directions: (0.5,0,0) (0,0.75,0) (0,0,2)",
+        "kinds: domain domain domain",
+        "endian: little",
+        "encoding: raw",
+        "space origin: (10,-20,30)",
+    ]) + "\n\n"
+    (tmp_path / "ras.nrrd").write_bytes(hdr.encode() + data.tobytes())
+    v = read_image(tmp_path / "ras.nrrd")
+    np.testing.assert_array_equal(v.data, data)
+    np.testing.assert_allclose(v.frame.origin, (-10, 20, 30))
+    np.testing.assert_allclose(v.frame.spacing, (0.5, 0.75, 2.0))
+    np.testing.assert_allclose(v.frame.direction, np.diag([-1.0, -1.0, 1.0]))
+
+
+def test_nrrd_big_endian_and_ascii(tmp_path):
+    data = np.arange(24, dtype=np.int16).reshape(2, 3, 4)
+    hdr = "\n".join([
+        "NRRD0001", "type: short", "dimension: 3", "sizes: 4 3 2",
+        "spacings: 1 1 1", "endian: big", "encoding: raw",
+    ]) + "\n\n"
+    (tmp_path / "be.nrrd").write_bytes(hdr.encode() + data.byteswap().tobytes())
+    v = read_image(tmp_path / "be.nrrd")
+    assert v.data.dtype == np.int16 and v.data.dtype.byteorder in ("=", "<", "|")
+    np.testing.assert_array_equal(v.data, data)
+
+    ahdr = "\n".join([
+        "NRRD0001", "type: short", "dimension: 3", "sizes: 4 3 2",
+        "encoding: ascii",
+    ]) + "\n\n"
+    body = " ".join(str(int(x)) for x in data.ravel())
+    (tmp_path / "a.nrrd").write_bytes(ahdr.encode() + body.encode())
+    v2 = read_image(tmp_path / "a.nrrd")
+    np.testing.assert_array_equal(v2.data, data)
+
+
+def test_nrrd_byteskip_minus_one(tmp_path):
+    """byte skip: -1 (raw only): payload is the LAST count*itemsize bytes —
+    the convention DICOM-to-NRRD converters use for header-prefixed blobs."""
+    data = np.arange(24, dtype=np.uint8).reshape(2, 3, 4)
+    hdr = "\n".join([
+        "NRRD0001", "type: uint8", "dimension: 3", "sizes: 4 3 2",
+        "encoding: raw", "byte skip: -1",
+    ]) + "\n\n"
+    (tmp_path / "s.nrrd").write_bytes(hdr.encode() + b"JUNKJUNK" + data.tobytes())
+    v = read_image(tmp_path / "s.nrrd")
+    np.testing.assert_array_equal(v.data, data)
+
+
+def test_nrrd_rejects_unknown(tmp_path):
+    (tmp_path / "x.nrrd").write_bytes(b"NOTNRRD\n")
+    with pytest.raises(ValueError, match="not a NRRD"):
+        read_image(tmp_path / "x.nrrd")
+    hdr = "\n".join([
+        "NRRD0001", "type: short", "dimension: 3", "sizes: 4 3 2",
+        "encoding: hex",
+    ]) + "\n\n"
+    (tmp_path / "h.nrrd").write_bytes(hdr.encode() + b"00" * 48)
+    with pytest.raises(ValueError, match="encoding"):
+        read_image(tmp_path / "h.nrrd")
