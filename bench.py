@@ -45,6 +45,10 @@ def main():
                     help="packed-forward conv output precision (default: "
                          "bf16 when --dtype bfloat16 — the flax forward's "
                          "own numerics; f32 keeps round-2 behavior)")
+    ap.add_argument("--quant", default=None, choices=["int8"],
+                    help="quantized packed forward (fused=2 only): int8 "
+                         "convs on the 2x MXU path + int8 activations")
+    ap.add_argument("--act_clip", type=float, default=8.0)
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="wrap one timed rep in jax.profiler.trace(DIR); "
                          "rank ops with benchmarks/trace_top.py DIR")
@@ -73,7 +77,9 @@ def main():
         from segmentation3d_tpu.models.packed_vnet import build_packed_forward
         apply_fn, apply_vars = build_packed_forward(net, variables,
                                                     dtype=dtype,
-                                                    accum=args.accum)
+                                                    accum=args.accum,
+                                                    quant=args.quant,
+                                                    act_clip=args.act_clip)
     elif args.fused == "1":
         from segmentation3d_tpu.models.fused_vnet import build_fused_forward
         apply_fn, apply_vars = build_fused_forward(net, variables, dtype=dtype,

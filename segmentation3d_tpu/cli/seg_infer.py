@@ -6,7 +6,9 @@
 
 TPU-native extensions (all optional): ``--partition_type/--partition_size/
 --partition_stride`` to force sliding-window mode, ``--batch_size``,
-``--blend``, ``--post`` connected-component cleanup, ``--bf16``.
+``--blend``, ``--post`` connected-component cleanup, ``--bf16``, ``--int8``
+(quantized forward on the 2x MXU path), ``--num_devices/--spatial_shard``,
+``--fine_model`` (coarse-to-fine).
 """
 from __future__ import annotations
 
@@ -48,6 +50,13 @@ def main(argv=None):
                         help="minimum component size (voxels) kept by "
                              "--post remove_small_cc")
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 quantized forward (2x MXU path; implies "
+                             "--bf16; approximate — validate per model with "
+                             "seg_eval)")
+    parser.add_argument("--act_clip", type=float, default=8.0,
+                        help="--int8 activation saturation point in "
+                             "BN-standardized sigmas")
     parser.add_argument("--num_devices", type=int, default=1,
                         help=">1 or -1 (all): shard each volume's patch "
                              "batches over a TPU mesh")
@@ -90,8 +99,9 @@ def main(argv=None):
         partition_type=args.partition_type, partition_size=args.partition_size,
         partition_stride=args.partition_stride, batch_size=args.batch_size,
         blend=args.blend, post_processing=post,
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        dtype=jnp.bfloat16 if (args.bf16 or args.int8) else jnp.float32,
         num_devices=args.num_devices, spatial_shard=args.spatial_shard,
+        quant="int8" if args.int8 else None, act_clip=args.act_clip,
     )
 
 

@@ -483,7 +483,8 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
                  partition_type=DISABLE, partition_size=None, partition_stride=None,
                  batch_size=8, blend="gaussian", post_processing=None,
                  dtype=jnp.float32, fused=None, shape_bucket=64,
-                 num_devices=1, spatial_shard=False):
+                 num_devices=1, spatial_shard=False, quant=None,
+                 act_clip=8.0):
     """Segment all cases found at ``input_path`` — the reference's public
     entry (``core/seg_infer.py:segmentation`` ≈L270-340).
 
@@ -497,6 +498,11 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     ``spatial_shard``: with SLAB partitioning and a multi-device mesh,
     z-shard each VOLUME over the chips instead (halo exchange; no chip
     holds the full volume) — the >512^3 single-volume mode.
+    ``quant="int8"`` (opt-in, requires the packed fused forward): every
+    conv between stem and softmax runs int8 on the 2x MXU path with int8
+    activations — measured 72 -> 90 volumes/min on the 512^3 headline;
+    accuracy is approximate (static ``act_clip``-sigma activation scale;
+    see ``models/packed_vnet.py``) — validate per model with ``seg_eval``.
     """
     del gpu_id
     mesh = None
@@ -508,6 +514,9 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     if fused is None:
         import jax
         fused = (dtype == jnp.bfloat16 and jax.default_backend() != "cpu")
+    if quant is not None and not fused:
+        raise ValueError("quant requires the fused packed forward "
+                         "(pass fused=True, or bf16 dtype on TPU)")
     # Session reuse: rebuilding the model + fused builders + inferers per
     # segmentation() call re-traces and re-compiles every program (the jit
     # caches key on the inferer/apply_fn OBJECTS) — measured 19 s of pure
@@ -517,7 +526,7 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     chk = model_io.latest_checkpoint(model_dir)
     skey = (chk, os.path.getmtime(os.path.join(chk, "params.pth")),
             jnp.dtype(dtype).name, bool(fused), blend, int(batch_size),
-            bool(spatial_shard), partition_type,
+            bool(spatial_shard), partition_type, quant, float(act_clip),
             tuple(np.asarray(mesh.devices).reshape(-1).tolist())
             if mesh is not None else None)
     sess = _SESSIONS.get(skey)
@@ -548,13 +557,21 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
             key = ("packed", ph)
         else:
             key = "window"
+        if quant is not None and key == "window":
+            # never degrade silently: int8 requires the packed route
+            raise ValueError(
+                f"quant={quant!r} requires the packed-domain forward, but "
+                f"patch width {patch[2]} is not divisible by its in_block "
+                f"packing {p0} — choose a partition width that is, or drop "
+                "the quant option")
         if key not in _builders:
             try:
                 if key != "window":
                     from segmentation3d_tpu.models.packed_vnet import (
                         build_packed_forward)
                     _builders[key] = build_packed_forward(
-                        model.net, model.variables, dtype=dtype, head_p=ph)
+                        model.net, model.variables, dtype=dtype, head_p=ph,
+                        quant=quant, act_clip=act_clip)
                 else:
                     from segmentation3d_tpu.models.fused_vnet import (
                         build_fused_forward)
@@ -562,6 +579,10 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
                         model.net, model.variables, dtype=dtype,
                         wide_xy=(partition_type == SLAB))
             except (NotImplementedError, KeyError, AssertionError):
+                if quant is not None:
+                    raise ValueError(
+                        f"quant={quant!r} requires the packed-domain "
+                        "forward, which this architecture does not support")
                 _builders[key] = (None, None)
         return _builders[key]
     # configuration errors that would fail EVERY case are raised before any

@@ -48,6 +48,9 @@ from segmentation3d_tpu.ops.packed_conv import (
     window_kernels_np, window_conv_packed, down_kernel_np, down_conv_packed,
     deconv_gemm_np, deconv_gemm_apply, deconv_unshuffle, concat_packed,
     interleave_perm_np, pick_window_p, _conv_acc)
+from segmentation3d_tpu.ops.quant import (
+    quantize_weight_np, conv_i8, requant, window_conv_packed_i8,
+    down_conv_packed_i8, deconv_gemm_apply_i8, concat_packed_i8)
 
 
 def _p_for(c: int) -> int:
@@ -70,7 +73,9 @@ def _act(x, kind, alpha=0.25):
 
 def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
                          accum: str | None = None,
-                         head_p: int | None = None):
+                         head_p: int | None = None,
+                         quant: str | None = None,
+                         act_clip: float = 8.0):
     """Returns ``(apply_fn, fused_vars)``; ``apply_fn(fused_vars, x)`` ==
     ``net.apply(variables, x, train=False)`` within bf16 tolerance.
 
@@ -87,7 +92,22 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
     prebuilt with numpy, so it is a BUILD-time choice). Default
     ``pick_window_p(nc)`` = 32; pass ``head_p_for(W, nc)`` for patch
     widths where 32 does not divide W (48, 80, 112, ... — every
-    max_stride-legal width packs at >= 16)."""
+    max_stride-legal width packs at >= 16).
+
+    ``quant="int8"`` (opt-in): every conv between the stem and the softmax
+    runs int8 x int8 -> int32 on the 2x MXU path, and every activation
+    tensor is int8 (HALF the HBM bytes of each elementwise pass, slice,
+    halo, unshuffle and skip buffer). Weights are per-output-channel
+    symmetric int8 (exact maxima of the BN-folded kernels); activations
+    use ONE static scale ``act_clip/127`` — sound because BN folding
+    standardizes every conv output against training statistics, so
+    post-activation values live in a known O(1) range (``act_clip``
+    defaults to 8 sigma; raise it if a model's ``seg_eval`` scores drop).
+    Residual adds run on int8 directly (int16 sum). Static scales are what
+    let every dequant+bias+act+requant chain fuse into its conv — see
+    ``ops/quant.py``. The stem (reads the bf16 input patch) and the
+    softmax head (f32) keep full precision. Accuracy is model-dependent:
+    gate with ``tests/test_quant.py``-style argmax-agreement checks."""
     if net.bottleneck:
         raise NotImplementedError("packed forward supports the standard "
                                   "(non-bottleneck) V-Net blocks")
@@ -97,6 +117,11 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
         raise ValueError(f"accum {accum!r} is not one of 'f32', 'bf16'")
     if accum == "bf16" and dtype != jnp.bfloat16:
         raise ValueError("accum='bf16' requires dtype=jnp.bfloat16")
+    if quant not in (None, "int8"):
+        raise ValueError(f"quant {quant!r} is not one of None, 'int8'")
+    q8 = quant == "int8"
+    s_act = float(act_clip) / 127.0       # global activation scale
+    inv_s_act = 127.0 / float(act_clip)
     p = variables["params"]
     s = variables["batch_stats"]
     act_kind = net.act
@@ -117,11 +142,18 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
         return 0.25
 
     # ---- phase 1: fold + pack every site --------------------------------
-    def reg_win(key, pp, ss, P, cin):
-        """Stride-1 3^3 conv at packing P (window kernels; P=1 -> direct)."""
+    def reg_win(key, pp, ss, P, cin, q=None):
+        """Stride-1 3^3 conv at packing P (window kernels; P=1 -> direct).
+        ``q``: quantize this site (default: the build's quant mode; the
+        stem passes False — its input is the unquantized bf16 patch)."""
+        q = q8 if q is None else q
         w, b = folded_np(pp, ss)
         cout = int(w.shape[-1])
-        m = {"P": P, "cin": cin, "cout": cout, "alpha": alpha_of(pp, "act")}
+        m = {"P": P, "cin": cin, "cout": cout, "alpha": alpha_of(pp, "act"),
+             "q": q}
+        if q:
+            wq, sw = quantize_weight_np(w)
+            w = wq
         if P > 1:
             mid, wl, wr = window_kernels_np(w, P)
             fv[key] = {"mid": mid, "left": wl, "right": wr,
@@ -130,6 +162,8 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
         else:
             fv[key] = {"w": w, "b": b}
             m["route"] = "direct"
+        if q:
+            fv[key]["s"] = np.tile(sw * np.float32(s_act), P)
         meta[key] = m
 
     def reg_res(key, pp, ss, num_convs, P, cin):
@@ -142,10 +176,11 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
     down_convs = list(net.down_convs)
     up_convs = list(net.up_convs)
 
-    # stem
+    # stem: stays bf16 (its input is the unquantized patch); under quant
+    # its epilogue emits int8 (requant fused into the same conv fusion)
     P0 = _p_for(base)                       # 8 for base 16
     reg_win("in_block/conv", p["in_block"]["conv"], s["in_block"]["conv"],
-            P0, net.in_channels)
+            P0, net.in_channels, q=False)
     # encoder
     c, P = base, P0
     enc = []                                # (channels, P) per skip level
@@ -155,14 +190,20 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
         pp, ss = p[f"down_{c}"], s[f"down_{c}"]
         w, b = folded_np(pp, ss, "down_conv", "down_bn")
         key = f"down_{c}/down"
+        if q8:
+            w, sw = quantize_weight_np(w)
         if P > 1:
             fv[key] = {"k": down_kernel_np(w, P), "b": np.tile(b, P // 2)}
             meta[key] = {"route": "packed", "P": P, "cout": c,
                          "alpha": alpha_of(pp, "down_act")}
+            if q8:
+                fv[key]["s"] = np.tile(sw * np.float32(s_act), P // 2)
         else:
             fv[key] = {"w": w, "b": b}
             meta[key] = {"route": "direct", "P": 1, "cout": c,
                          "alpha": alpha_of(pp, "down_act")}
+            if q8:
+                fv[key]["s"] = sw * np.float32(s_act)
         P = max(P // 2, 1)
         reg_res(f"down_{c}/res", pp["res"], ss["res"], nconv, P, c)
     # decoder
@@ -172,9 +213,17 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
         w, b = folded_np(pp, ss, "up_conv", "up_bn")   # [2,2,2, c_in, up]
         key = f"up_{c}/up"
         skip_c, skip_P = enc.pop()
+        if q8:
+            w, sw = quantize_weight_np(w)
         fv[key] = {"k": deconv_gemm_np(w, P), "b": b}
+        if q8:
+            # deconv_gemm output channel order (dz, dy, x-block, cout):
+            # prebuild the full lane-scale/bias vectors once in numpy
+            fv[key]["s"] = np.tile(sw * np.float32(s_act), 4 * 2 * P)
+            fv[key]["b"] = np.tile(b, 4 * 2 * P)
         if skip_P > 1:
-            fv[key]["perm"] = interleave_perm_np(skip_P, up, skip_c)
+            perm = interleave_perm_np(skip_P, up, skip_c)
+            fv[key]["perm"] = perm.astype(np.int8) if q8 else perm
         # NOTE: the res block stays at the SKIP's packing. Repacking to the
         # minimal P for its channel count (e.g. 8 -> 4 at the full-res
         # 32-channel level, window inflation (P+2)/3: 3.33x -> 2x) was
@@ -204,24 +253,52 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
     meta["out_block"] = {"Ph": Ph}
 
     # ---- phase 2: the traced forward ------------------------------------
-    def run_win(key, v, xp):
+    def lane(v):  # [C'] -> broadcastable over [B,D,H,cols,C']
+        return v.reshape(1, 1, 1, 1, -1)
+
+    def run_win(key, v, xp, out_q=False):
+        """``out_q=True`` (quant builds): emit int8 at the global activation
+        scale — the requant is elementwise, fused into this conv's own
+        output fusion (never a standalone HBM pass)."""
         m = meta[key]
+        if m.get("q"):
+            if m["route"] == "window":
+                y = window_conv_packed_i8(xp, v["mid"], v["left"], v["right"],
+                                          P=m["P"], cin=m["cin"])
+            else:  # P == 1: plain SAME conv on the (identical) unpacked view
+                y = conv_i8(xp, v["w"], (1, 1, 1),
+                            ((1, 1), (1, 1), (1, 1)))
+            a = y.astype(jnp.float32) * lane(v["s"]) + lane(v["b"])
+            a = _act(a, act_kind, m["alpha"])
+            return requant(a, inv_s_act) if out_q else a.astype(dtype)
         if m["route"] == "window":
             out = window_conv_packed(xp, v["mid"], v["left"], v["right"],
                                      v["b"], P=m["P"], cin=m["cin"],
                                      accum=accum)
-        else:  # P == 1: plain SAME conv on the (identical) unpacked view
+        else:
             out = _conv_acc(xp.astype(dtype), v["w"].astype(dtype),
                             (1, 1, 1), "SAME", ("NDHWC", "DHWIO", "NDHWC"),
                             False, accum)
             out = out + v["b"].astype(out.dtype).reshape(1, 1, 1, 1, -1)
-        return _act(out, act_kind, m["alpha"]).astype(dtype)
+        out = _act(out, act_kind, m["alpha"])
+        if out_q:
+            return requant(out.astype(jnp.float32), inv_s_act)
+        return out.astype(dtype)
 
     def run_res(key, fvars, xp):
+        """Quant builds: ``xp`` is int8; the whole chain and the residual
+        add stay int8 (int16 sum -> act on the dequantized value -> requant,
+        all fused into the last conv's epilogue)."""
         m = meta[key]
         h = xp
         for i in range(m["n"]):
-            h = run_win(f"{key}/conv{i}", fvars[f"{key}/conv{i}"], h)
+            h = run_win(f"{key}/conv{i}", fvars[f"{key}/conv{i}"], h,
+                        out_q=q8)
+        if q8:
+            ssum = xp.astype(jnp.int16) + h.astype(jnp.int16)
+            a = _act(ssum.astype(jnp.float32) * jnp.float32(s_act),
+                     act_kind, m["alpha_out"])
+            return requant(a, inv_s_act)
         return _act(xp + h, act_kind, m["alpha_out"]).astype(dtype)
 
     def repack(x, P_from, P_to):
@@ -248,7 +325,7 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
             f"rebuild with head_p=head_p_for(W, nc)")
         x = x.astype(dtype)
         xp = x.reshape(B, D, H, W // P0, P0 * net.in_channels)
-        xp = run_win("in_block/conv", fvars["in_block/conv"], xp)
+        xp = run_win("in_block/conv", fvars["in_block/conv"], xp, out_q=q8)
         c, P = base, P0
         skips = []
         for i, _ in enumerate(down_convs):
@@ -256,30 +333,53 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
             c *= 2
             key = f"down_{c}/down"
             m, v = meta[key], fvars[key]
-            if m["route"] == "packed":
-                out = down_conv_packed(xp, v["k"], v["b"], accum=accum)
+            if q8:
+                if m["route"] == "packed":
+                    y = down_conv_packed_i8(xp, v["k"])
+                else:
+                    y = conv_i8(xp, v["w"], (2, 2, 2),
+                                ((0, 0), (0, 0), (0, 0)))
+                a = y.astype(jnp.float32) * lane(v["s"]) + lane(v["b"])
+                xp = requant(_act(a, act_kind, m["alpha"]), inv_s_act)
             else:
-                out = _conv_acc(xp.astype(dtype), v["w"].astype(dtype),
-                                (2, 2, 2), ((0, 0), (0, 0), (0, 0)),
-                                ("NDHWC", "DHWIO", "NDHWC"), False, accum)
-                out = out + v["b"].astype(out.dtype).reshape(1, 1, 1, 1, -1)
-            xp = _act(out, act_kind, m["alpha"]).astype(dtype)
+                if m["route"] == "packed":
+                    out = down_conv_packed(xp, v["k"], v["b"], accum=accum)
+                else:
+                    out = _conv_acc(xp.astype(dtype), v["w"].astype(dtype),
+                                    (2, 2, 2), ((0, 0), (0, 0), (0, 0)),
+                                    ("NDHWC", "DHWIO", "NDHWC"), False, accum)
+                    out = out + v["b"].astype(out.dtype).reshape(1, 1, 1, 1, -1)
+                xp = _act(out, act_kind, m["alpha"]).astype(dtype)
             P = max(P // 2, 1)
             xp = run_res(f"down_{c}/res", fvars, xp)
         for _ in up_convs:
             key = f"up_{c}/up"
             m, v = meta[key], fvars[key]
             skip, skip_c, skip_P = skips.pop()
-            # GEMM -> act+bf16 on the folded form -> z/y unshuffle (the
-            # transpose then moves half the bytes)
-            y = deconv_gemm_apply(xp, v["k"], v["b"], cout=m["cout"],
-                                  P_out=m["P_out"], accum=accum)
-            y = _act(y, act_kind, m["alpha"]).astype(dtype)
-            up_act = deconv_unshuffle(y)
-            # align the up path to the skip's packing (free), then concat
-            up_act = repack(up_act, m["P_out"], skip_P)
-            xp = concat_packed(up_act, skip, m["cout"], skip_c,
-                               perm=v.get("perm"))
+            if q8:
+                # int8 GEMM -> fused dequant+act+requant -> int8 unshuffle
+                # (half the transpose bytes of the bf16 build)
+                y = deconv_gemm_apply_i8(xp, v["k"], cout=m["cout"],
+                                         P_out=m["P_out"])
+                a = (y.astype(jnp.float32)
+                     * v["s"].reshape(1, 1, 1, 1, 2, 2, -1)
+                     + v["b"].reshape(1, 1, 1, 1, 2, 2, -1))
+                y = requant(_act(a, act_kind, m["alpha"]), inv_s_act)
+                up_act = deconv_unshuffle(y)
+                up_act = repack(up_act, m["P_out"], skip_P)
+                xp = concat_packed_i8(up_act, skip, m["cout"], skip_c,
+                                      perm=v.get("perm"))
+            else:
+                # GEMM -> act+bf16 on the folded form -> z/y unshuffle (the
+                # transpose then moves half the bytes)
+                y = deconv_gemm_apply(xp, v["k"], v["b"], cout=m["cout"],
+                                      P_out=m["P_out"], accum=accum)
+                y = _act(y, act_kind, m["alpha"]).astype(dtype)
+                up_act = deconv_unshuffle(y)
+                # align the up path to the skip's packing (free), then concat
+                up_act = repack(up_act, m["P_out"], skip_P)
+                xp = concat_packed(up_act, skip, m["cout"], skip_c,
+                                   perm=v.get("perm"))
             xp = repack(xp, skip_P, m["P_res"])  # free: minimal-P res block
             P = m["P_res"]
             xp = run_res(f"up_{c}/res", fvars, xp)

@@ -1,0 +1,100 @@
+"""int8 quantized twins of the packed-domain conv primitives.
+
+TPU v5e runs int8 GEMMs at ~2x the bf16 MXU rate (measured on this chip:
+4096^2 matmul chain 5.71 -> 2.97 ms; the packed mid-conv shape
+[1,64,512,128,128]x[3,3,1,128,128] chain 54.5 -> 31.8 ms including
+requantize — ``benchmarks/bench_int8.py``), and int8 activations halve the
+HBM bytes of every elementwise pass between convs. This module provides the
+int8 building blocks for the quantized packed inference forward
+(``models/packed_vnet.py:build_packed_forward(quant="int8")``).
+
+Scheme (static, no calibration pass needed):
+
+- **Weights**: per-output-channel symmetric int8. The BN-folded kernels are
+  concrete numpy at build time, so scales are exact maxima.
+- **Activations**: ONE global scale ``s_a = act_clip / 127`` for every
+  activation tensor in the net. This is sound because BN folding
+  standardizes every conv output against its training statistics (zero
+  mean, unit variance pre-activation), so post-activation values live in a
+  known O(1) range; ``act_clip`` (default 8 = 8 sigma) is the saturation
+  point. A single static scale is what lets EVERY dequant + bias + act +
+  requant chain fuse into its conv's output fusion — a dynamic (amax)
+  scale would add two full-tensor HBM passes per conv and erase the win.
+- **Residual adds** run on the int8 domain directly (int16 sum, then
+  act+clip): no dequantized copy of the identity is ever materialized.
+
+Forward-only (inference). The training path stays bf16.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_DN = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def quantize_weight_np(w: np.ndarray):
+    """Per-output-channel symmetric int8: returns (w_q int8, s f32[cout])
+    with ``w ≈ w_q * s``. Zero channels get scale 1 (all-zero rows)."""
+    w = np.asarray(w, np.float32)
+    amax = np.max(np.abs(w), axis=tuple(range(w.ndim - 1)))
+    s = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    w_q = np.clip(np.rint(w / s), -127, 127).astype(np.int8)
+    return w_q, s
+
+
+def conv_i8(x, w, strides, padding):
+    """int8 x int8 conv -> int32 (the 2x MXU path)."""
+    return jax.lax.conv_general_dilated(
+        x, w, strides, padding, dimension_numbers=_DN,
+        preferred_element_type=jnp.int32)
+
+
+def requant(a, inv_s_a):
+    """f32 activation -> int8 at the global activation scale (round +
+    saturate). Pure elementwise: fuses into the producing conv/add."""
+    return jnp.clip(jnp.round(a * inv_s_a), -127, 127).astype(jnp.int8)
+
+
+def window_conv_packed_i8(xp, mid, wl, wr, *, P: int, cin: int):
+    """int8 twin of ``packed_conv.window_conv_packed``: packed [..,P*cin]
+    int8 -> int32 [..,P*cout]. Same 3-conv narrow-halo decomposition; the
+    halo pad-adds run in int32 (exact)."""
+    zy_same = ((1, 1), (1, 1), (0, 0))
+    cout = wl.shape[-1]
+    out = conv_i8(xp, mid, (1, 1, 1), zy_same)
+    lc = conv_i8(xp[..., (P - 1) * cin:], wl, (1, 1, 1),
+                 ((1, 1), (1, 1), (1, -1)))
+    rc = conv_i8(xp[..., :cin], wr, (1, 1, 1), ((1, 1), (1, 1), (-1, 1)))
+    pad4 = ((0, 0),) * 4
+    out = out + jnp.pad(lc, pad4 + ((0, (P - 1) * cout),))
+    out = out + jnp.pad(rc, pad4 + (((P - 1) * cout, 0),))
+    return out
+
+
+def down_conv_packed_i8(xp, mid):
+    """int8 twin of ``packed_conv.down_conv_packed`` (k=2/s=2, VALID,
+    packed kernel from ``down_kernel_np`` built on the int8 weight)."""
+    return conv_i8(xp, mid, (2, 2, 1), ((0, 0), (0, 0), (0, 0)))
+
+
+def deconv_gemm_apply_i8(xp, k, *, cout: int, P_out: int):
+    """int8 twin of ``packed_conv.deconv_gemm_apply`` (pure GEMM):
+    [B,D,H,cols,P*cin] int8 -> int32 [B,D,H,cols,2,2,P_out*cout]."""
+    B, D, H, cols, _ = xp.shape
+    out = conv_i8(xp, k, (1, 1, 1), ((0, 0), (0, 0), (0, 0)))
+    return out.reshape(B, D, H, cols, 2, 2, P_out * cout)
+
+
+def concat_packed_i8(a, b, ca: int, cb: int, perm=None):
+    """int8 twin of ``packed_conv.concat_packed``. Both inputs share the
+    global activation scale, so the 0/1 permutation GEMM (int8 x int8 ->
+    int32) moves values unchanged and the int8 cast back is exact."""
+    P = a.shape[-1] // ca
+    cat = jnp.concatenate([a, b], axis=-1)
+    if P == 1:
+        return cat
+    assert perm is not None, "P > 1 packed concat needs interleave_perm_np"
+    out = conv_i8(cat, perm, (1, 1, 1), ((0, 0), (0, 0), (0, 0)))
+    return out.astype(jnp.int8)

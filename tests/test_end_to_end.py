@@ -481,3 +481,33 @@ def test_segmentation_session_reuse(trained_model):
              and s["model"] is not None]
     assert fresh
     si._SESSIONS.clear()
+
+
+def test_int8_quant_inference(trained_model, tmp_path):
+    """Opt-in int8 quantized inference (quant='int8'): the mask written by
+    the quantized forward matches the full-precision mask on a trained
+    model (and its Dice vs ground truth), and misconfiguration raises
+    instead of silently degrading."""
+    root, cases, save_dir, _ = trained_model
+    from segmentation3d_tpu.core.seg_infer import segmentation
+    from segmentation3d_tpu.io import read_image
+    import pytest as _pytest
+
+    img_path = cases[0][0][0]
+    segmentation(img_path, save_dir, str(tmp_path / "f32"),
+                 seg_name="seg.nii.gz")
+    segmentation(img_path, save_dir, str(tmp_path / "int8"),
+                 seg_name="seg.nii.gz", fused=True, quant="int8")
+    case = os.listdir(str(tmp_path / "f32"))[0]
+    ref = read_image(os.path.join(str(tmp_path / "f32"), case, "seg.nii.gz")).data
+    q = read_image(os.path.join(str(tmp_path / "int8"), case, "seg.nii.gz")).data
+    gt = read_image(cases[0][1]).data
+    agree = np.mean(ref == q)
+    assert agree >= 0.995, agree
+    assert _dice(q, gt) >= _dice(ref, gt) - 0.02
+
+    # quant without the fused packed forward is an error, not a silent
+    # full-precision run
+    with _pytest.raises(ValueError, match="quant"):
+        segmentation(img_path, save_dir, str(tmp_path / "bad"),
+                     seg_name="seg.nii.gz", fused=False, quant="int8")
