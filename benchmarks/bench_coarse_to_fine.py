@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--classes", type=int, default=2)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--fused", type=int, default=1,
+                    help="1 (default): packed-domain fused forward; 0: flax")
+    ap.add_argument("--quant", default=None, choices=["int8"])
     args = ap.parse_args()
 
     import jax
@@ -42,6 +45,12 @@ def main():
     x0 = jnp.zeros((1, 32, 32, 32, 1), jnp.float32)
     variables = net.init(jax.random.PRNGKey(0), x0, train=False)
 
+    apply_fn = apply_vars = None
+    if args.fused:
+        from segmentation3d_tpu.models.packed_vnet import build_packed_forward
+        apply_fn, apply_vars = build_packed_forward(
+            net, variables, dtype=jnp.bfloat16, quant=args.quant)
+
     rng = np.random.default_rng(0)
     size = args.size
     csize = size // args.coarse_factor
@@ -52,9 +61,11 @@ def main():
         rng.normal(0, 0.3, (roi, roi, roi, 1)).astype(np.float32)))
 
     coarse_inf = SlidingWindowInferer(net, (csize,) * 3, args.classes,
-                                      batch_size=1, blend="constant")
+                                      batch_size=1, blend="constant",
+                                      apply_fn=apply_fn, apply_vars=apply_vars)
     fine_inf = SlidingWindowInferer(net, (args.patch,) * 3, args.classes,
-                                    batch_size=args.batch, blend="gaussian")
+                                    batch_size=args.batch, blend="gaussian",
+                                    apply_fn=apply_fn, apply_vars=apply_vars)
     stride = (args.stride,) * 3
 
     def one_volume():

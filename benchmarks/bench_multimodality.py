@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--stride", type=int, default=96)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    ap.add_argument("--quant", default=None, choices=["int8"])
     args = ap.parse_args()
 
     import jax
@@ -43,7 +44,8 @@ def main():
     net = SegmentationNet(in_channels=4, out_channels=4, dtype=dtype)
     x0 = jnp.zeros((1, 32, 32, 32, 4), jnp.float32)
     variables = net.init(jax.random.PRNGKey(0), x0, train=False)
-    apply_fn, fused_vars = build_packed_forward(net, variables, dtype=dtype)
+    apply_fn, fused_vars = build_packed_forward(net, variables, dtype=dtype,
+                                                quant=args.quant)
 
     rng = np.random.default_rng(0)
     p = args.patch

@@ -81,8 +81,9 @@ def main(argv=None):
             partition_size=args.partition_size or (96, 96, 96),
             partition_stride=args.partition_stride,
             batch_size=args.batch_size, margin_mm=args.roi_margin,
-            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            dtype=jnp.bfloat16 if (args.bf16 or args.int8) else jnp.float32,
             save_image=args.save_image,
+            quant="int8" if args.int8 else None, act_clip=args.act_clip,
         )
         return
 

@@ -128,16 +128,24 @@ _C2F_SESSIONS: dict = {}
 
 
 def _build_c2f_session(coarse_model_dir, fine_model_dir, dtype, patch,
-                       stride, batch_size):
-    """Load both models, attach fused forwards, build the fine inferer."""
+                       stride, batch_size, quant=None, act_clip=8.0):
+    """Load both models, attach fused forwards, build the fine inferer.
+
+    ``quant="int8"`` quantizes the FINE model's packed forward (the fine
+    pass dominates the two-pass time); the coarse pass keeps full
+    precision (its whole-volume widths are only known per case, so it uses
+    the window forward, which has no quantized form). Misconfiguration
+    raises — never a silent full-precision run."""
     coarse = load_seg_model(coarse_model_dir, dtype=dtype)
     fine = load_seg_model(fine_model_dir, dtype=dtype)
 
-    def attach_fused(model, patch_w):
+    def attach_fused(model, patch_w, q=None):
         """Attach the packed-domain (or window) fused forward to a SegModel
         (consumed via the ``fused_apply``/``fused_vars`` attributes)."""
         import jax
         if dtype != jnp.bfloat16 or jax.default_backend() == "cpu":
+            if q is not None:
+                raise ValueError("quant requires bfloat16 dtype on TPU")
             return
         try:
             from segmentation3d_tpu.models.packed_vnet import _p_for
@@ -147,16 +155,25 @@ def _build_c2f_session(coarse_model_dir, fine_model_dir, dtype, patch,
                 from segmentation3d_tpu.ops.packed_conv import head_p_for
                 model.fused_apply, model.fused_vars = build_packed_forward(
                     model.net, model.variables, dtype=dtype,
-                    head_p=head_p_for(patch_w, model.net.out_channels))
+                    head_p=head_p_for(patch_w, model.net.out_channels),
+                    quant=q, act_clip=act_clip)
             else:
+                if q is not None:
+                    raise ValueError(
+                        f"quant={q!r} requires the packed-domain forward, "
+                        f"but patch width {patch_w} is not divisible by its "
+                        "in_block packing")
                 from segmentation3d_tpu.models.fused_vnet import (
                     build_fused_forward)
                 model.fused_apply, model.fused_vars = build_fused_forward(
                     model.net, model.variables, dtype=dtype)
         except (NotImplementedError, KeyError, AssertionError):
-            pass
+            if q is not None:
+                raise ValueError(
+                    f"quant={q!r} requires the packed-domain forward, "
+                    "which this architecture does not support")
 
-    attach_fused(fine, patch[2])
+    attach_fused(fine, patch[2], q=quant)
     # coarse pass volumes are whole downsampled volumes bucketed to the
     # model stride; width divisibility is only known per case, so use the
     # window-conv fused forward (always valid)
@@ -174,7 +191,7 @@ def segmentation_coarse_to_fine(
         input_path, coarse_model_dir, fine_model_dir, output_dir,
         seg_name="seg.mha", partition_size=(96, 96, 96),
         partition_stride=None, batch_size=8, margin_mm=16.0,
-        dtype=jnp.float32, save_image=False):
+        dtype=jnp.float32, save_image=False, quant=None, act_clip=8.0):
     """Batch driver mirroring ``core.seg_infer.segmentation`` for the
     two-pass pipeline."""
     cases = find_cases(input_path)
@@ -191,13 +208,15 @@ def segmentation_coarse_to_fine(
         c = _mio.latest_checkpoint(d)
         return (c, os.path.getmtime(os.path.join(c, "params.pth")))
     skey = (_ck(coarse_model_dir), _ck(fine_model_dir),
-            jnp.dtype(dtype).name, patch, stride, int(batch_size))
+            jnp.dtype(dtype).name, patch, stride, int(batch_size),
+            quant, float(act_clip))
     sess = _C2F_SESSIONS.get(skey)
     if sess is None:
         while len(_C2F_SESSIONS) >= 2:
             _C2F_SESSIONS.pop(next(iter(_C2F_SESSIONS)))
         sess = _build_c2f_session(coarse_model_dir, fine_model_dir, dtype,
-                                  patch, stride, batch_size)
+                                  patch, stride, batch_size, quant=quant,
+                                  act_clip=act_clip)
         _C2F_SESSIONS[skey] = sess
     coarse, fine = sess["coarse"], sess["fine"]
     fine_inferer, coarse_cache = sess["fine_inferer"], sess["coarse_cache"]

@@ -124,3 +124,15 @@ def test_c2f_session_reuse(c2f_setup):
     assert c2f._C2F_SESSIONS[key]["coarse"] is coarse1
     assert c2f._C2F_SESSIONS[key]["fine_inferer"] is inferer1
     c2f._C2F_SESSIONS.clear()
+
+
+def test_quant_misconfiguration_raises(c2f_setup):
+    """quant='int8' without bf16-on-TPU must raise, not silently run the
+    full-precision forward (the round-2 silent-fallback lesson)."""
+    root, cases, save_dir = c2f_setup
+    from segmentation3d_tpu.core.coarse_to_fine import segmentation_coarse_to_fine
+    with pytest.raises(ValueError, match="quant"):
+        segmentation_coarse_to_fine(
+            input_path=cases[0][0][0], coarse_model_dir=save_dir,
+            fine_model_dir=save_dir, output_dir=str(root / "q8"),
+            partition_size=(16, 16, 16), quant="int8")
