@@ -75,7 +75,10 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
                          accum: str | None = None,
                          head_p: int | None = None,
                          quant: str | None = None,
-                         act_clip: float = 8.0):
+                         act_clip: float = 8.0,
+                         calib: dict | None = None,
+                         calib_margin: float = 1.2,
+                         stats: bool = False):
     """Returns ``(apply_fn, fused_vars)``; ``apply_fn(fused_vars, x)`` ==
     ``net.apply(variables, x, train=False)`` within bf16 tolerance.
 
@@ -99,15 +102,30 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
     tensor is int8 (HALF the HBM bytes of each elementwise pass, slice,
     halo, unshuffle and skip buffer). Weights are per-output-channel
     symmetric int8 (exact maxima of the BN-folded kernels); activations
-    use ONE static scale ``act_clip/127`` — sound because BN folding
-    standardizes every conv output against training statistics, so
-    post-activation values live in a known O(1) range (``act_clip``
-    defaults to 8 sigma; raise it if a model's ``seg_eval`` scores drop).
-    Residual adds run on int8 directly (int16 sum). Static scales are what
-    let every dequant+bias+act+requant chain fuse into its conv — see
-    ``ops/quant.py``. The stem (reads the bf16 input patch) and the
-    softmax head (f32) keep full precision. Accuracy is model-dependent:
-    gate with ``tests/test_quant.py``-style argmax-agreement checks."""
+    use STATIC per-site scales, which is what lets every
+    dequant+bias+act+requant chain fuse into its conv's output fusion (a
+    dynamic amax scale would add two full-tensor HBM passes per conv —
+    see ``ops/quant.py``). Scale source, in preference order:
+
+    - ``calib``: a per-site activation-maxima dict from
+      :func:`calibrate_int8` (run the full-precision forward on sample
+      patches once); each site gets ``amax * calib_margin / 127``. Skip
+      and deconv sites feeding the same concat are unified to their max
+      (their int8 tensors concatenate, so they must share a scale).
+    - otherwise ``act_clip/127`` globally — sound uncalibrated because BN
+      folding standardizes every conv output against training statistics,
+      so post-activation values live in a known O(1) range (8 sigma
+      default saturation).
+
+    The residual identity and the chain's last conv output meet in f32
+    INSIDE the last conv's fusion (no extra pass, no double quantization).
+    The stem (reads the bf16 input patch) and the softmax head (f32) keep
+    full precision. Accuracy is model-dependent: validate with
+    ``seg_eval`` / ``tests/test_quant.py``-style argmax-agreement checks.
+
+    ``stats=True`` (full-precision builds only): ``apply_fn`` returns
+    ``(probs, {site: activation_amax})`` — the measurement side of
+    :func:`calibrate_int8`."""
     if net.bottleneck:
         raise NotImplementedError("packed forward supports the standard "
                                   "(non-bottleneck) V-Net blocks")
@@ -120,12 +138,67 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
     if quant not in (None, "int8"):
         raise ValueError(f"quant {quant!r} is not one of None, 'int8'")
     q8 = quant == "int8"
-    s_act = float(act_clip) / 127.0       # global activation scale
-    inv_s_act = 127.0 / float(act_clip)
+    if stats and q8:
+        raise ValueError("stats=True measures the full-precision forward; "
+                         "it cannot be combined with quant")
     p = variables["params"]
     s = variables["batch_stats"]
     act_kind = net.act
     nc = net.out_channels
+
+    base = net.base_channels
+    down_convs = list(net.down_convs)
+    up_convs = list(net.up_convs)
+
+    # ---- activation-site graph + static scales (quant / stats) ----------
+    # Every activation tensor in the forward has a site key; sites_in maps
+    # each site to the site that PRODUCES its input (None for the stem).
+    sites_in = {"in_block/conv": None}
+    enc_sites = ["in_block/conv"]     # skip producers, in encoder order
+    unify_pairs = []                  # (deconv site, skip site) per concat
+    prev = "in_block/conv"
+    cc = base
+    for nconv in down_convs:
+        cc *= 2
+        dk = f"down_{cc}/down"
+        sites_in[dk] = prev
+        rk = f"down_{cc}/res"
+        rin = dk
+        for j in range(nconv):
+            ck = f"{rk}/conv{j}"
+            sites_in[ck] = rin
+            rin = ck
+        sites_in[rk] = dk             # the res ADD's identity input
+        enc_sites.append(rk)
+        prev = rk
+    enc_sites.pop()                   # the bottleneck res is not a skip
+    for nconv in up_convs:
+        uk = f"up_{cc}/up"
+        sites_in[uk] = prev
+        unify_pairs.append((uk, enc_sites.pop()))
+        rk = f"up_{cc}/res"
+        rin = uk                      # concat scale == unified up/skip scale
+        for j in range(nconv):
+            ck = f"{rk}/conv{j}"
+            sites_in[ck] = rin
+            rin = ck
+        sites_in[rk] = uk
+        prev = rk
+        cc //= 2
+    sites_in["out_block/conv"] = prev
+
+    def _site_scale(k):
+        if calib is None:
+            return float(act_clip) / 127.0
+        if k not in calib:
+            raise ValueError(f"calib dict is missing activation site {k!r} "
+                             "(use calibrate_int8 to produce it)")
+        return max(float(calib[k]), 1e-6) * float(calib_margin) / 127.0
+
+    s_out = {k: _site_scale(k) for k in sites_in}
+    for uk, sk in unify_pairs:        # concatenated int8 tensors share scale
+        m = max(s_out[uk], s_out[sk])
+        s_out[uk] = s_out[sk] = m
 
     fv = {}    # flat key -> numpy arrays (jit-argument pytree)
     meta = {}  # flat key -> static info
@@ -151,6 +224,8 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
         cout = int(w.shape[-1])
         m = {"P": P, "cin": cin, "cout": cout, "alpha": alpha_of(pp, "act"),
              "q": q}
+        if q8:
+            m["inv_out"] = 1.0 / s_out[key]   # requant scale of THIS site
         if q:
             wq, sw = quantize_weight_np(w)
             w = wq
@@ -163,7 +238,8 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
             fv[key] = {"w": w, "b": b}
             m["route"] = "direct"
         if q:
-            fv[key]["s"] = np.tile(sw * np.float32(s_act), P)
+            # dequant multiplier = input site's scale x per-channel w scale
+            fv[key]["s"] = np.tile(sw * np.float32(s_out[sites_in[key]]), P)
         meta[key] = m
 
     def reg_res(key, pp, ss, num_convs, P, cin):
@@ -171,10 +247,9 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
             reg_win(f"{key}/conv{i}", pp[f"conv{i}"], ss[f"conv{i}"],
                     P, cin if i == 0 else meta[f"{key}/conv0"]["cout"])
         meta[key] = {"n": num_convs, "alpha_out": alpha_of(pp, "act_out")}
-
-    base = net.base_channels
-    down_convs = list(net.down_convs)
-    up_convs = list(net.up_convs)
+        if q8:
+            meta[key]["s_id"] = s_out[sites_in[key]]  # identity input scale
+            meta[key]["inv_out"] = 1.0 / s_out[key]
 
     # stem: stays bf16 (its input is the unquantized patch); under quant
     # its epilogue emits int8 (requant fused into the same conv fusion)
@@ -197,13 +272,16 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
             meta[key] = {"route": "packed", "P": P, "cout": c,
                          "alpha": alpha_of(pp, "down_act")}
             if q8:
-                fv[key]["s"] = np.tile(sw * np.float32(s_act), P // 2)
+                fv[key]["s"] = np.tile(
+                    sw * np.float32(s_out[sites_in[key]]), P // 2)
         else:
             fv[key] = {"w": w, "b": b}
             meta[key] = {"route": "direct", "P": 1, "cout": c,
                          "alpha": alpha_of(pp, "down_act")}
             if q8:
-                fv[key]["s"] = sw * np.float32(s_act)
+                fv[key]["s"] = sw * np.float32(s_out[sites_in[key]])
+        if q8:
+            meta[key]["inv_out"] = 1.0 / s_out[key]
         P = max(P // 2, 1)
         reg_res(f"down_{c}/res", pp["res"], ss["res"], nconv, P, c)
     # decoder
@@ -219,7 +297,8 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
         if q8:
             # deconv_gemm output channel order (dz, dy, x-block, cout):
             # prebuild the full lane-scale/bias vectors once in numpy
-            fv[key]["s"] = np.tile(sw * np.float32(s_act), 4 * 2 * P)
+            fv[key]["s"] = np.tile(
+                sw * np.float32(s_out[sites_in[key]]), 4 * 2 * P)
             fv[key]["b"] = np.tile(b, 4 * 2 * P)
         if skip_P > 1:
             perm = interleave_perm_np(skip_P, up, skip_c)
@@ -234,6 +313,8 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
         meta[key] = {"P": P, "P_out": 2 * P, "cout": up,
                      "alpha": alpha_of(pp, "up_act"),
                      "skip_c": skip_c, "skip_P": skip_P, "P_res": skip_P}
+        if q8:
+            meta[key]["inv_out"] = 1.0 / s_out[key]
         P = skip_P
         reg_res(f"up_{c}/res", pp["res"], ss["res"], nconv, P, c)
         c //= 2
@@ -256,10 +337,12 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
     def lane(v):  # [C'] -> broadcastable over [B,D,H,cols,C']
         return v.reshape(1, 1, 1, 1, -1)
 
-    def run_win(key, v, xp, out_q=False):
-        """``out_q=True`` (quant builds): emit int8 at the global activation
-        scale — the requant is elementwise, fused into this conv's own
-        output fusion (never a standalone HBM pass)."""
+    def run_win(key, v, xp, out="dtype", st=None):
+        """``out``: "dtype" (bf16/f32 cast), "int8" (requant at this site's
+        static scale — elementwise, fused into this conv's own output
+        fusion, never a standalone HBM pass), or "raw" (the f32/compute
+        activation, for the residual add to consume inside the same
+        fusion). ``st``: stats collector (full-precision builds)."""
         m = meta[key]
         if m.get("q"):
             if m["route"] == "window":
@@ -270,36 +353,45 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
                             ((1, 1), (1, 1), (1, 1)))
             a = y.astype(jnp.float32) * lane(v["s"]) + lane(v["b"])
             a = _act(a, act_kind, m["alpha"])
-            return requant(a, inv_s_act) if out_q else a.astype(dtype)
-        if m["route"] == "window":
-            out = window_conv_packed(xp, v["mid"], v["left"], v["right"],
-                                     v["b"], P=m["P"], cin=m["cin"],
-                                     accum=accum)
         else:
-            out = _conv_acc(xp.astype(dtype), v["w"].astype(dtype),
-                            (1, 1, 1), "SAME", ("NDHWC", "DHWIO", "NDHWC"),
-                            False, accum)
-            out = out + v["b"].astype(out.dtype).reshape(1, 1, 1, 1, -1)
-        out = _act(out, act_kind, m["alpha"])
-        if out_q:
-            return requant(out.astype(jnp.float32), inv_s_act)
-        return out.astype(dtype)
+            if m["route"] == "window":
+                a = window_conv_packed(xp, v["mid"], v["left"], v["right"],
+                                       v["b"], P=m["P"], cin=m["cin"],
+                                       accum=accum)
+            else:
+                a = _conv_acc(xp.astype(dtype), v["w"].astype(dtype),
+                              (1, 1, 1), "SAME", ("NDHWC", "DHWIO", "NDHWC"),
+                              False, accum)
+                a = a + v["b"].astype(a.dtype).reshape(1, 1, 1, 1, -1)
+            a = _act(a, act_kind, m["alpha"])
+        if st is not None:
+            st[key] = jnp.max(jnp.abs(a)).astype(jnp.float32)
+        if out == "int8":
+            return requant(a.astype(jnp.float32), m["inv_out"])
+        if out == "raw":
+            return a
+        return a.astype(dtype)
 
-    def run_res(key, fvars, xp):
-        """Quant builds: ``xp`` is int8; the whole chain and the residual
-        add stay int8 (int16 sum -> act on the dequantized value -> requant,
-        all fused into the last conv's epilogue)."""
+    def run_res(key, fvars, xp, st=None):
+        """Quant builds: ``xp`` is int8; inner convs emit int8 at their own
+        site scales, the LAST conv's activation stays f32 inside its fusion
+        and meets the dequantized identity there (one fused epilogue — no
+        double quantization of the chain output)."""
         m = meta[key]
         h = xp
         for i in range(m["n"]):
+            last = i == m["n"] - 1
             h = run_win(f"{key}/conv{i}", fvars[f"{key}/conv{i}"], h,
-                        out_q=q8)
+                        out=("raw" if last else "int8") if q8 else "dtype",
+                        st=st)
         if q8:
-            ssum = xp.astype(jnp.int16) + h.astype(jnp.int16)
-            a = _act(ssum.astype(jnp.float32) * jnp.float32(s_act),
+            a = _act(xp.astype(jnp.float32) * jnp.float32(m["s_id"]) + h,
                      act_kind, m["alpha_out"])
-            return requant(a, inv_s_act)
-        return _act(xp + h, act_kind, m["alpha_out"]).astype(dtype)
+            return requant(a, m["inv_out"])
+        a = _act(xp + h, act_kind, m["alpha_out"])
+        if st is not None:
+            st[key] = jnp.max(jnp.abs(a)).astype(jnp.float32)
+        return a.astype(dtype)
 
     def repack(x, P_from, P_to):
         """Free reshape between packings (same linear memory order)."""
@@ -324,8 +416,10 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
             f"W={W} is not divisible by the built head packing {Ph}; "
             f"rebuild with head_p=head_p_for(W, nc)")
         x = x.astype(dtype)
+        st = {} if stats else None
         xp = x.reshape(B, D, H, W // P0, P0 * net.in_channels)
-        xp = run_win("in_block/conv", fvars["in_block/conv"], xp, out_q=q8)
+        xp = run_win("in_block/conv", fvars["in_block/conv"], xp,
+                     out="int8" if q8 else "dtype", st=st)
         c, P = base, P0
         skips = []
         for i, _ in enumerate(down_convs):
@@ -340,7 +434,7 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
                     y = conv_i8(xp, v["w"], (2, 2, 2),
                                 ((0, 0), (0, 0), (0, 0)))
                 a = y.astype(jnp.float32) * lane(v["s"]) + lane(v["b"])
-                xp = requant(_act(a, act_kind, m["alpha"]), inv_s_act)
+                xp = requant(_act(a, act_kind, m["alpha"]), m["inv_out"])
             else:
                 if m["route"] == "packed":
                     out = down_conv_packed(xp, v["k"], v["b"], accum=accum)
@@ -349,9 +443,12 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
                                     (2, 2, 2), ((0, 0), (0, 0), (0, 0)),
                                     ("NDHWC", "DHWIO", "NDHWC"), False, accum)
                     out = out + v["b"].astype(out.dtype).reshape(1, 1, 1, 1, -1)
-                xp = _act(out, act_kind, m["alpha"]).astype(dtype)
+                out = _act(out, act_kind, m["alpha"])
+                if st is not None:
+                    st[key] = jnp.max(jnp.abs(out)).astype(jnp.float32)
+                xp = out.astype(dtype)
             P = max(P // 2, 1)
-            xp = run_res(f"down_{c}/res", fvars, xp)
+            xp = run_res(f"down_{c}/res", fvars, xp, st=st)
         for _ in up_convs:
             key = f"up_{c}/up"
             m, v = meta[key], fvars[key]
@@ -364,7 +461,7 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
                 a = (y.astype(jnp.float32)
                      * v["s"].reshape(1, 1, 1, 1, 2, 2, -1)
                      + v["b"].reshape(1, 1, 1, 1, 2, 2, -1))
-                y = requant(_act(a, act_kind, m["alpha"]), inv_s_act)
+                y = requant(_act(a, act_kind, m["alpha"]), m["inv_out"])
                 up_act = deconv_unshuffle(y)
                 up_act = repack(up_act, m["P_out"], skip_P)
                 xp = concat_packed_i8(up_act, skip, m["cout"], skip_c,
@@ -374,7 +471,10 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
                 # transpose then moves half the bytes)
                 y = deconv_gemm_apply(xp, v["k"], v["b"], cout=m["cout"],
                                       P_out=m["P_out"], accum=accum)
-                y = _act(y, act_kind, m["alpha"]).astype(dtype)
+                y = _act(y, act_kind, m["alpha"])
+                if st is not None:
+                    st[key] = jnp.max(jnp.abs(y)).astype(jnp.float32)
+                y = y.astype(dtype)
                 up_act = deconv_unshuffle(y)
                 # align the up path to the skip's packing (free), then concat
                 up_act = repack(up_act, m["P_out"], skip_P)
@@ -382,12 +482,12 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
                                    perm=v.get("perm"))
             xp = repack(xp, skip_P, m["P_res"])  # free: minimal-P res block
             P = m["P_res"]
-            xp = run_res(f"up_{c}/res", fvars, xp)
+            xp = run_res(f"up_{c}/res", fvars, xp, st=st)
             c //= 2
         # head at P=Ph (free repack from (P, 2*base))
         Ph_ = meta["out_block"]["Ph"]
         xp = repack(xp, P, Ph_)
-        xp = run_win("out_block/conv", fvars["out_block/conv"], xp)
+        xp = run_win("out_block/conv", fvars["out_block/conv"], xp, st=st)
         v = fvars["out_block/proj"]
         # the 1x1 proj keeps f32 accumulation regardless of ``accum`` — its
         # output feeds the softmax directly and is tiny (Ph*NC channels)
@@ -399,11 +499,36 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
         cols = logits.shape[3]
         lg = logits.reshape(B, D, H, cols, Ph_, nc)
         if return_logits:
-            return lg.reshape(B, D, H, W, nc)
-        prob = jax.nn.softmax(lg.astype(jnp.float32), axis=-1)
-        if return_packed:
-            return prob.reshape(B, D, H, cols, Ph_ * nc)
-        return prob.reshape(B, D, H, W, nc)
+            res = lg.reshape(B, D, H, W, nc)
+        else:
+            prob = jax.nn.softmax(lg.astype(jnp.float32), axis=-1)
+            if return_packed:
+                res = prob.reshape(B, D, H, cols, Ph_ * nc)
+            else:
+                res = prob.reshape(B, D, H, W, nc)
+        return (res, st) if stats else res
 
     apply_fn.packed_head_p = Ph  # packed-tail consumers key off this
     return apply_fn, fv
+
+
+def calibrate_int8(net: SegmentationNet, variables, samples,
+                   dtype=jnp.bfloat16, head_p: int | None = None) -> dict:
+    """Measure per-activation-site maxima for the int8 build.
+
+    Runs the FULL-PRECISION packed forward (``stats=True``) over the given
+    sample patches (an iterable of [B,D,H,W,Cin] arrays — e.g. a few real
+    patches from the target distribution) and returns ``{site: amax}``,
+    ready for ``build_packed_forward(quant="int8", calib=...)``. One
+    measurement pass replaces the uncalibrated 8-sigma assumption with the
+    model's real activation ranges; ``calib_margin`` (at build) adds
+    headroom for unseen data."""
+    apply_fn, fvars = build_packed_forward(net, variables, dtype=dtype,
+                                           head_p=head_p, stats=True)
+    amax: dict = {}
+    for x in samples:
+        _, st = apply_fn(fvars, x)
+        st = jax.device_get(st)  # ONE host transfer for all ~30 scalars
+        for k, v in st.items():
+            amax[k] = max(amax.get(k, 0.0), float(v))
+    return amax

@@ -156,3 +156,51 @@ def test_quant_rejects_unknown_mode():
     variables = net.init(jax.random.PRNGKey(0), x, train=False)
     with pytest.raises(ValueError, match="quant"):
         build_packed_forward(net, variables, quant="int4")
+
+
+def test_calibrated_quant():
+    """calibrate_int8 -> per-site scales. The bookkeeping is pinned by an
+    EXACTNESS property: a constant-8.0 calib dict at margin 1.0 must
+    reproduce the uncalibrated act_clip=8 build bit-for-bit (same scales
+    threaded through every dequant/requant/unification site). Measured
+    maxima keep argmax agreement and avoid the global build's saturation
+    (random-init activations genuinely exceed 8 sigma at several res-add
+    sites — calibration is what makes those faithful)."""
+    from segmentation3d_tpu.models.packed_vnet import calibrate_int8
+    net = SegmentationNet(in_channels=1, out_channels=2)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 32, 1)), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(2), x, train=False)
+    ref = np.asarray(net.apply(variables, x, train=False))
+
+    amax = calibrate_int8(net, variables, [x], dtype=jnp.float32)
+    assert all(v > 0 for v in amax.values())
+
+    const = {k: 8.0 for k in amax}
+    qf_g, qv_g = build_packed_forward(net, variables, dtype=jnp.float32,
+                                      quant="int8")
+    qf_c, qv_c = build_packed_forward(net, variables, dtype=jnp.float32,
+                                      quant="int8", calib=const,
+                                      calib_margin=1.0)
+    np.testing.assert_array_equal(np.asarray(qf_g(qv_g, x)),
+                                  np.asarray(qf_c(qv_c, x)))
+
+    qf, qv = build_packed_forward(net, variables, dtype=jnp.float32,
+                                  quant="int8", calib=amax)
+    out_c = np.asarray(qf(qv, x))
+    assert np.abs(out_c - ref).max() < 0.1
+    assert np.mean(np.argmax(out_c, -1) == np.argmax(ref, -1)) >= 0.98
+
+    # an incomplete calib dict is an error, not a silent fallback
+    bad = dict(amax)
+    bad.pop("in_block/conv")
+    with pytest.raises(ValueError, match="missing activation site"):
+        build_packed_forward(net, variables, dtype=jnp.float32,
+                             quant="int8", calib=bad)
+
+
+def test_stats_mode_rejects_quant():
+    net = SegmentationNet(in_channels=1, out_channels=2)
+    x = jnp.zeros((1, 16, 16, 32, 1), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+    with pytest.raises(ValueError, match="stats"):
+        build_packed_forward(net, variables, quant="int8", stats=True)
