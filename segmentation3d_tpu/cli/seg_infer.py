@@ -56,7 +56,11 @@ def main(argv=None):
                              "seg_eval)")
     parser.add_argument("--act_clip", type=float, default=8.0,
                         help="--int8 activation saturation point in "
-                             "BN-standardized sigmas")
+                             "BN-standardized sigmas (uncalibrated)")
+    parser.add_argument("--int8_calib", default=None, metavar="IMAGE[,IMG2..]",
+                        help="calibrate --int8 activation scales on this "
+                             "representative image (comma-separated paths "
+                             "for multi-modality models)")
     parser.add_argument("--num_devices", type=int, default=1,
                         help=">1 or -1 (all): shard each volume's patch "
                              "batches over a TPU mesh")
@@ -103,6 +107,7 @@ def main(argv=None):
         dtype=jnp.bfloat16 if (args.bf16 or args.int8) else jnp.float32,
         num_devices=args.num_devices, spatial_shard=args.spatial_shard,
         quant="int8" if args.int8 else None, act_clip=args.act_clip,
+        calib_image=args.int8_calib.split(",") if args.int8_calib else None,
     )
 
 

@@ -478,13 +478,46 @@ def segmentation_one_case(model: SegModel, image_paths, inferer: SlidingWindowIn
     return mask_vol, prob_out, native, time.time() - t0
 
 
+def _calibrate_for_model(model: SegModel, image_paths, dtype, cap: int = 192):
+    """Per-site activation maxima for the int8 build, measured on a real
+    calibration image run through the SAME preprocessing as inference
+    (fixed-spacing resample + per-modality normalizers). The iso volume is
+    center-cropped to <= ``cap`` per dim (bounding the one full-precision
+    measurement forward); ``cap`` is a multiple of every legal max_stride."""
+    from segmentation3d_tpu.utils.image_tools import resample_spacing
+    from segmentation3d_tpu.models.packed_vnet import calibrate_int8
+    from segmentation3d_tpu.ops.packed_conv import head_p_for
+    if len(image_paths) != model.in_channels:
+        raise ValueError(
+            f"calibration needs {model.in_channels} modality image(s), "
+            f"got {len(image_paths)}")
+    chans = []
+    for p, norm in zip(image_paths, model.normalizers):
+        iso = resample_spacing(read_image(p, dtype=np.float32), model.spacing,
+                               model.max_stride, model.interpolation)
+        data = iso.data
+        if norm is not None:
+            data = np.asarray(norm(jnp.asarray(data)), np.float32)
+        chans.append(np.asarray(data, np.float32))
+    x = np.stack(chans, axis=-1)
+    sl = []
+    for n in x.shape[:3]:
+        t = min(n, cap)
+        s = (n - t) // 2
+        sl.append(slice(s, s + t))
+    x = x[tuple(sl)]
+    return calibrate_int8(
+        model.net, model.variables, [jnp.asarray(x)[None]], dtype=dtype,
+        head_p=head_p_for(x.shape[2], model.out_channels))
+
+
 def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
                  gpu_id=0, save_image=False, save_prob=False,
                  partition_type=DISABLE, partition_size=None, partition_stride=None,
                  batch_size=8, blend="gaussian", post_processing=None,
                  dtype=jnp.float32, fused=None, shape_bucket=64,
                  num_devices=1, spatial_shard=False, quant=None,
-                 act_clip=8.0):
+                 act_clip=8.0, calib_image=None):
     """Segment all cases found at ``input_path`` — the reference's public
     entry (``core/seg_infer.py:segmentation`` ≈L270-340).
 
@@ -501,8 +534,12 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     ``quant="int8"`` (opt-in, requires the packed fused forward): every
     conv between stem and softmax runs int8 on the 2x MXU path with int8
     activations — measured 72 -> 90 volumes/min on the 512^3 headline;
-    accuracy is approximate (static ``act_clip``-sigma activation scale;
-    see ``models/packed_vnet.py``) — validate per model with ``seg_eval``.
+    accuracy is approximate (static activation scales; see
+    ``models/packed_vnet.py``) — validate per model with ``seg_eval``.
+    ``calib_image``: path (or list of per-modality paths) of a
+    representative image; its measured per-site activation ranges replace
+    the uncalibrated ``act_clip``-sigma assumption (one full-precision
+    forward at session build).
     """
     del gpu_id
     mesh = None
@@ -524,9 +561,16 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     # call had already compiled everything in-process. Keyed by checkpoint
     # identity + every engine option that shapes the compiled programs.
     chk = model_io.latest_checkpoint(model_dir)
+    calib_paths = None
+    if calib_image is not None:
+        calib_paths = tuple(calib_image) if isinstance(
+            calib_image, (list, tuple)) else (calib_image,)
+        if quant is None:
+            raise ValueError("calib_image only applies with quant")
     skey = (chk, os.path.getmtime(os.path.join(chk, "params.pth")),
             jnp.dtype(dtype).name, bool(fused), blend, int(batch_size),
             bool(spatial_shard), partition_type, quant, float(act_clip),
+            calib_paths,
             tuple(np.asarray(mesh.devices).reshape(-1).tolist())
             if mesh is not None else None)
     sess = _SESSIONS.get(skey)
@@ -534,7 +578,10 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
         while len(_SESSIONS) >= _SESSION_CAP:  # droppable: caches only
             _SESSIONS.pop(next(iter(_SESSIONS)))
         sess = {"model": load_seg_model(model_dir, dtype=dtype),
-                "builders": {}, "inferers": {}}
+                "builders": {}, "inferers": {}, "calib": None}
+        if calib_paths is not None:
+            sess["calib"] = _calibrate_for_model(sess["model"],
+                                                 list(calib_paths), dtype)
         _SESSIONS[skey] = sess
     model = sess["model"]
     _builders = sess["builders"]
@@ -571,7 +618,7 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
                         build_packed_forward)
                     _builders[key] = build_packed_forward(
                         model.net, model.variables, dtype=dtype, head_p=ph,
-                        quant=quant, act_clip=act_clip)
+                        quant=quant, act_clip=act_clip, calib=sess["calib"])
                 else:
                     from segmentation3d_tpu.models.fused_vnet import (
                         build_fused_forward)

@@ -454,14 +454,15 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
             m, v = meta[key], fvars[key]
             skip, skip_c, skip_P = skips.pop()
             if q8:
-                # int8 GEMM -> fused dequant+act+requant -> int8 unshuffle
-                # (half the transpose bytes of the bf16 build)
-                y = deconv_gemm_apply_i8(xp, v["k"], cout=m["cout"],
-                                         P_out=m["P_out"])
-                a = (y.astype(jnp.float32)
-                     * v["s"].reshape(1, 1, 1, 1, 2, 2, -1)
-                     + v["b"].reshape(1, 1, 1, 1, 2, 2, -1))
+                # int8 GEMM -> fused dequant+act+requant ON THE RANK-5 GEMM
+                # OUTPUT (reshape after, so the epilogue fuses into the
+                # conv) -> int8 unshuffle (half the transpose bytes)
+                y = deconv_gemm_apply_i8(xp, v["k"])
+                a = y.astype(jnp.float32) * lane(v["s"]) + lane(v["b"])
                 y = requant(_act(a, act_kind, m["alpha"]), m["inv_out"])
+                Bq, Dq, Hq, colsq, _ = y.shape
+                y = y.reshape(Bq, Dq, Hq, colsq, 2, 2,
+                              m["P_out"] * m["cout"])
                 up_act = deconv_unshuffle(y)
                 up_act = repack(up_act, m["P_out"], skip_P)
                 xp = concat_packed_i8(up_act, skip, m["cout"], skip_c,

@@ -79,12 +79,17 @@ def down_conv_packed_i8(xp, mid):
     return conv_i8(xp, mid, (2, 2, 1), ((0, 0), (0, 0), (0, 0)))
 
 
-def deconv_gemm_apply_i8(xp, k, *, cout: int, P_out: int):
+def deconv_gemm_apply_i8(xp, k):
     """int8 twin of ``packed_conv.deconv_gemm_apply`` (pure GEMM):
-    [B,D,H,cols,P*cin] int8 -> int32 [B,D,H,cols,2,2,P_out*cout]."""
-    B, D, H, cols, _ = xp.shape
-    out = conv_i8(xp, k, (1, 1, 1), ((0, 0), (0, 0), (0, 0)))
-    return out.reshape(B, D, H, cols, 2, 2, P_out * cout)
+    [B,D,H,cols,P*cin] int8 -> int32 [B,D,H,cols,4*P_out*cout].
+
+    Stays RANK-5: the caller applies the dequant+bias+act+requant epilogue
+    on this form (rank-1 lane vectors) and only THEN reshapes (dz,dy) out
+    of channels. Reshaping first put a bitcast between the conv and its
+    requant, so XLA materialized the f32 dequantized tensor and paid a
+    full f32 layout copy before the unshuffle transpose (profiled
+    29 ms/volume, `copy.350` on the 512^3 int8 headline)."""
+    return conv_i8(xp, k, (1, 1, 1), ((0, 0), (0, 0), (0, 0)))
 
 
 def concat_packed_i8(a, b, ca: int, cb: int, perm=None):

@@ -511,3 +511,28 @@ def test_int8_quant_inference(trained_model, tmp_path):
     with _pytest.raises(ValueError, match="quant"):
         segmentation(img_path, save_dir, str(tmp_path / "bad"),
                      seg_name="seg.nii.gz", fused=False, quant="int8")
+
+
+def test_int8_calibrated_inference(trained_model, tmp_path):
+    """--int8_calib path: per-site scales calibrated on a representative
+    image at session build; the mask matches the full-precision run."""
+    root, cases, save_dir, _ = trained_model
+    from segmentation3d_tpu.core.seg_infer import segmentation
+    from segmentation3d_tpu.io import read_image
+
+    img_path = cases[0][0][0]
+    segmentation(img_path, save_dir, str(tmp_path / "ref"),
+                 seg_name="seg.nii.gz")
+    segmentation(img_path, save_dir, str(tmp_path / "cal"),
+                 seg_name="seg.nii.gz", fused=True, quant="int8",
+                 calib_image=cases[1][0][0])
+    case = os.listdir(str(tmp_path / "ref"))[0]
+    ref = read_image(os.path.join(str(tmp_path / "ref"), case, "seg.nii.gz")).data
+    q = read_image(os.path.join(str(tmp_path / "cal"), case, "seg.nii.gz")).data
+    assert np.mean(ref == q) >= 0.995
+
+    # calib_image without quant is a config error
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="calib_image"):
+        segmentation(img_path, save_dir, str(tmp_path / "bad"),
+                     seg_name="seg.nii.gz", calib_image=img_path)

@@ -75,7 +75,8 @@ def test_down_and_deconv_i8_exact():
     # deconv k=2/s=2 (GEMM + unshuffle)
     wu = rng.integers(-50, 51, size=(2, 2, 2, cin, cout)).astype(np.int8)
     k = deconv_gemm_np(wu, P)
-    yu = deconv_gemm_apply_i8(xp, jnp.asarray(k), cout=cout, P_out=2 * P)
+    yu = deconv_gemm_apply_i8(xp, jnp.asarray(k))  # rank-5 GEMM output
+    yu = yu.reshape(1, 4, 4, W // P, 2, 2, 2 * P * cout)
     yu = deconv_unshuffle(yu)  # int32 [1, 8, 8, W//P, 2P*cout]
     got = np.asarray(yu).reshape(1, 8, 8, 2 * W, cout)
     ref = jax.lax.conv_transpose(
