@@ -125,3 +125,20 @@ def test_grad_flows():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     assert any(np.any(np.asarray(l) != 0) for l in leaves)
+
+
+def test_vbnet_registry():
+    """'vbnet' resolves to the bottleneck-block variant (the reference's
+    BottConvBnRelu3/BottResidualBlock3 blocks, vnet.py ~L35-125), with the
+    same registry surface as 'vnet'."""
+    mod = get_network_module("vbnet")
+    assert mod.max_stride() == 16
+    net = mod.SegmentationNet(in_channels=1, out_channels=2, base_channels=4)
+    assert isinstance(net, SegmentationNet) and net.bottleneck
+    variables, x = _init(net, (1, 16, 16, 16, 1))
+    out = net.apply(variables, x, train=False)
+    assert out.shape == (1, 16, 16, 16, 2)
+    np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, atol=1e-5)
+    # explicit override still wins (it is a default, not a lock)
+    assert not mod.SegmentationNet(in_channels=1, out_channels=2,
+                                   bottleneck=False).bottleneck
