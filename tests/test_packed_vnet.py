@@ -144,3 +144,21 @@ def test_accum_validation():
         build_packed_forward(net, variables, dtype=jnp.float32, accum="bf16")
     with pytest.raises(ValueError):
         build_packed_forward(net, variables, accum="int8")
+
+
+def test_bottleneck_rejected_loudly():
+    """Bottleneck ('vbnet') nets are not packed-lowerable; the builders must
+    raise instead of silently mis-lowering (seg_infer catches this and falls
+    back to the flax forward)."""
+    net = SegmentationNet(in_channels=1, out_channels=2, base_channels=4,
+                          bottleneck=True)
+    x = jnp.zeros((1, 16, 16, 32, 1), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+    with pytest.raises(NotImplementedError):
+        build_packed_forward(net, variables, dtype=jnp.float32)
+    from segmentation3d_tpu.models.packed_train import build_packed_train_apply
+    with pytest.raises(NotImplementedError):
+        build_packed_train_apply(net)
+    from segmentation3d_tpu.models.fused_vnet import build_fused_forward
+    with pytest.raises(NotImplementedError):
+        build_fused_forward(net, variables, dtype=jnp.float32)
