@@ -16,14 +16,20 @@ MEASURED (TPU v5e, round 3) — **counter-result, do not re-try**:
 
 - site 16 (encoder 16ch, P=8, [1,64,512,64,128]): fused 1.72 vs contig 1.88
   ms/iter — NO WIN; the whole window conv incl. requant is 1.7 ms here.
-- site 32 (dominant full-res decoder shape, P=4, [1,64,512,128,128]):
-  mid_only 3.98, fused 28.0, contig 33.7 ms/iter — contig LOSES again.
-  The isolated chain's 24 ms "halo overhead" is NOT what the real forward
-  pays (BASELINE.md attributes ~95-110 ms/volume of halo machinery across
-  ALL sites): in the real program the s32 pad+adds fuse into the conv's
-  dequant+bias+act+requant epilogue, while this probe's bare `>>`-requant
-  chain materializes the s32 add passes. Lesson: micro-chains over-count
-  epilogue traffic; trust the in-program trace (bench.py --profile).
+- site 32 (32ch at P=4, [1,64,512,128,128]): mid_only 3.98, fused 28.0,
+  contig 33.7 ms/iter — contig LOSES again. The isolated chain's 24 ms
+  "halo overhead" is NOT what the real forward pays (BASELINE.md attributes
+  ~95-110 ms/volume of halo machinery across ALL sites): in the real
+  program the s32 pad+adds fuse into the conv's dequant+bias+act+requant
+  epilogue, while this probe's bare `>>`-requant chain materializes the
+  s32 add passes. Lesson: micro-chains over-count epilogue traffic; trust
+  the in-program trace (bench.py --profile).
+- site 32p8 (the REAL dominant site: 32ch at the level chain's P=8,
+  [1,64,512,64,256] — where the in-program trace measured the halo convs
+  at 11.7 TOPS): mid_only 6.73, fused 17.17, contig 20.05, blockdiag
+  (both halos as ONE conv on a contiguous 2*cin-lane input with the column
+  shifts baked in) 20.06 ms/iter. EVERY reformulation loses; the fused
+  strided-slice 3-conv decomposition is the floor at the real geometry too.
 """
 import argparse
 import glob
@@ -72,8 +78,9 @@ def op_times_ms(trace_dir):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace_dir", default="/tmp/halo_trace")
-    ap.add_argument("--site", default="16", choices=["16", "32"],
-                    help="full-res 16ch (P=8) or half-res 32ch (P=4) site")
+    ap.add_argument("--site", default="16", choices=["16", "32", "32p8"],
+                    help="full-res 16ch (P=8), 32ch at P=4, or the real "
+                         "dominant 32ch-at-P=8 site")
     args = ap.parse_args()
 
     import jax
@@ -84,11 +91,16 @@ def main():
         cin = cout = 16
         P = 8
         xs = (1, 64, 512, 64, P * cin)    # full-res slab, packed (encoder 16ch)
-    else:
-        # the DOMINANT site: full-res decoder 32ch convs, W=512, P=4
+    elif args.site == "32":
         cin = cout = 32
         P = 4
         xs = (1, 64, 512, 128, P * cin)
+    else:  # "32p8": the REAL dominant site — the level chain keeps P0=8,
+        # so the full-res 32ch convs run at P=8 (256 lanes, cols=64);
+        # this is where the trace measured the halo convs at 11.7 TOPS
+        cin = cout = 32
+        P = 8
+        xs = (1, 64, 512, 64, P * cin)
 
     dn = ("NDHWC", "DHWIO", "NDHWC")
     rng = np.random.default_rng(0)
@@ -103,17 +115,34 @@ def main():
             x, w, (1, 1, 1), padding, dimension_numbers=dn,
             preferred_element_type=jnp.int32)
 
+    # block-diag combined kernel: both halos as ONE conv on a 2*cin-lane
+    # contiguous input (the x column shifts are baked into the input build)
+    wlr = np.zeros((3, 3, 1, 2 * cin, 2 * cout), np.int8)
+    wlr[:, :, :, :cin, :cout] = np.asarray(wl)
+    wlr[:, :, :, cin:, cout:] = np.asarray(wr)
+    wlr = jnp.asarray(wlr)
+
     def window_i8(x, mode):
         zy_same = ((1, 1), (1, 1), (0, 0))
         out = conv_i8(x, mid, zy_same)
-        if mode != "mid_only":
+        pad4 = ((0, 0),) * 4
+        if mode == "blockdiag":
+            # U[.., q, 0:cin] = x[.., q-1, (P-1)cin:], U[.., q, cin:] =
+            # x[.., q+1, :cin]  (zero at the edges)
+            xl = jnp.pad(x[:, :, :, :-1, (P - 1) * cin:],
+                         pad4[:3] + ((1, 0), (0, 0)))
+            xr = jnp.pad(x[:, :, :, 1:, :cin], pad4[:3] + ((0, 1), (0, 0)))
+            u = lax.optimization_barrier(jnp.concatenate([xl, xr], axis=-1))
+            lr = conv_i8(u, wlr, zy_same)
+            out = out + jnp.pad(lr[..., :cout], pad4 + ((0, (P - 1) * cout),))
+            out = out + jnp.pad(lr[..., cout:], pad4 + (((P - 1) * cout, 0),))
+        elif mode != "mid_only":
             xl = x[..., (P - 1) * cin:]
             xr = x[..., :cin]
             if mode == "contig_slice":
                 xl, xr = lax.optimization_barrier((xl, xr))
             lc = conv_i8(xl, wl, ((1, 1), (1, 1), (1, -1)))
             rc = conv_i8(xr, wr, ((1, 1), (1, 1), (-1, 1)))
-            pad4 = ((0, 0),) * 4
             out = out + jnp.pad(lc, pad4 + ((0, (P - 1) * cout),))
             out = out + jnp.pad(rc, pad4 + (((P - 1) * cout, 0),))
         return jnp.clip(out >> 9, -127, 127).astype(jnp.int8)
@@ -127,7 +156,7 @@ def main():
         return chain
 
     results = {}
-    for name in ("mid_only", "fused_slice", "contig_slice"):
+    for name in ("mid_only", "fused_slice", "contig_slice", "blockdiag"):
         fn = make_chain(name)
         fn(xi).block_until_ready()           # compile
         td = os.path.join(args.trace_dir, name)
@@ -142,10 +171,11 @@ def main():
         for k, v in sorted(ops.items(), key=lambda kv: -kv[1])[:12]:
             print(f"    {v/INNER:8.3f} ms  {k}")
 
-    m, a, b = (results[k] for k in ("mid_only", "fused_slice", "contig_slice"))
+    m, a, b, c = (results[k] for k in
+                  ("mid_only", "fused_slice", "contig_slice", "blockdiag"))
     print(f"VERDICT: mid_only {m/INNER:.3f}, fused {a/INNER:.3f}, "
-          f"contig {b/INNER:.3f} ms/iter; halo overhead "
-          f"{(a-m)/INNER:.3f} -> {(b-m)/INNER:.3f}")
+          f"contig {b/INNER:.3f}, blockdiag {c/INNER:.3f} ms/iter; halo "
+          f"overhead {(a-m)/INNER:.3f} / {(b-m)/INNER:.3f} / {(c-m)/INNER:.3f}")
 
 
 if __name__ == "__main__":

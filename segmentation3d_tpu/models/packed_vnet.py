@@ -346,6 +346,13 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
         m = meta[key]
         if m.get("q"):
             if m["route"] == "window":
+                # NOTE (round-3 counter-result): do NOT pass deq_scale here.
+                # XLA already fuses the ENTIRE dequant+bias+act+requant
+                # epilogue into the mid conv (the trace's clamp_convert
+                # fusions carry the conv kernel as an operand; the halo s32
+                # outputs ride in as extra operands). Forcing per-conv bf16
+                # dequant un-fuses the halo outputs into standalone
+                # multiply_convert passes: headline 97.3 -> 91.1 vol/min.
                 y = window_conv_packed_i8(xp, v["mid"], v["left"], v["right"],
                                           P=m["P"], cin=m["cin"])
             else:  # P == 1: plain SAME conv on the (identical) unpacked view

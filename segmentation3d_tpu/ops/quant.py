@@ -57,16 +57,36 @@ def requant(a, inv_s_a):
     return jnp.clip(jnp.round(a * inv_s_a), -127, 127).astype(jnp.int8)
 
 
-def window_conv_packed_i8(xp, mid, wl, wr, *, P: int, cin: int):
+def window_conv_packed_i8(xp, mid, wl, wr, *, P: int, cin: int,
+                          deq_scale=None):
     """int8 twin of ``packed_conv.window_conv_packed``: packed [..,P*cin]
     int8 -> int32 [..,P*cout]. Same 3-conv narrow-halo decomposition; the
-    halo pad-adds run in int32 (exact)."""
+    halo pad-adds run in int32 (exact).
+
+    ``deq_scale`` (f32 [P*cout], the per-lane dequant multiplier): each of
+    the three convs dequantizes INSIDE its own output fusion and the
+    pad-adds run on bf16 -> returns bf16. **Measured COUNTER-RESULT on the
+    512^3 int8 headline (round 3): 97.3 -> 91.1 volumes/min — do not wire
+    this into the packed forward.** The trace shows XLA ALREADY fuses the
+    entire dequant+bias+act+requant epilogue into the mid conv (the
+    ``clamp_convert_fusion`` ops carry the conv kernel as an operand and
+    read the halo s32 outputs as extra operands); forcing per-conv bf16
+    dequant only un-fuses the halo outputs into standalone
+    ``multiply_convert_fusion`` passes (+~50 ms/volume). Kept because the
+    building block is exact (unit-tested) and the fusion behavior is
+    compiler-version-dependent."""
     zy_same = ((1, 1), (1, 1), (0, 0))
     cout = wl.shape[-1]
     out = conv_i8(xp, mid, (1, 1, 1), zy_same)
     lc = conv_i8(xp[..., (P - 1) * cin:], wl, (1, 1, 1),
                  ((1, 1), (1, 1), (1, -1)))
     rc = conv_i8(xp[..., :cin], wr, (1, 1, 1), ((1, 1), (1, 1), (-1, 1)))
+    if deq_scale is not None:
+        s = deq_scale.reshape(1, 1, 1, 1, -1)
+        out = (out.astype(jnp.float32) * s).astype(jnp.bfloat16)
+        lc = (lc.astype(jnp.float32) * s[..., :cout]).astype(jnp.bfloat16)
+        rc = (rc.astype(jnp.float32) * s[..., (P - 1) * cout:]
+              ).astype(jnp.bfloat16)
     pad4 = ((0, 0),) * 4
     out = out + jnp.pad(lc, pad4 + ((0, (P - 1) * cout),))
     out = out + jnp.pad(rc, pad4 + (((P - 1) * cout, 0),))

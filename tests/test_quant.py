@@ -57,6 +57,28 @@ def test_window_conv_packed_i8_exact():
     np.testing.assert_array_equal(out, np.asarray(ref, np.int64))
 
 
+def test_window_conv_packed_i8_deq_scale():
+    """deq_scale: the three convs dequantize inside their own fusions and
+    the pad-adds run bf16 — distributively equal to dequantizing the s32
+    sum, up to per-term bf16 rounding (well under an int8 step)."""
+    from segmentation3d_tpu.ops.packed_conv import window_kernels_np
+    cin, cout, P, W = 4, 8, 4, 16
+    x = rng.integers(-50, 51, size=(1, 4, 4, W, cin)).astype(np.int8)
+    w = rng.integers(-50, 51, size=(3, 3, 3, cin, cout)).astype(np.int8)
+    s = np.tile(rng.uniform(0.5, 2.0, size=cout).astype(np.float32), P)
+    mid, wl, wr = window_kernels_np(w, P)
+    xp = jnp.asarray(x).reshape(1, 4, 4, W // P, P * cin)
+    raw = window_conv_packed_i8(xp, jnp.asarray(mid), jnp.asarray(wl),
+                                jnp.asarray(wr), P=P, cin=cin)
+    deq = window_conv_packed_i8(xp, jnp.asarray(mid), jnp.asarray(wl),
+                                jnp.asarray(wr), P=P, cin=cin,
+                                deq_scale=jnp.asarray(s))
+    assert deq.dtype == jnp.bfloat16
+    ref = np.asarray(raw, np.float32) * s.reshape(1, 1, 1, 1, -1)
+    np.testing.assert_allclose(np.asarray(deq, np.float32), ref,
+                               rtol=2e-2, atol=1e-2 * np.abs(ref).max())
+
+
 def test_down_and_deconv_i8_exact():
     from segmentation3d_tpu.ops.packed_conv import (
         down_kernel_np, deconv_gemm_np, deconv_unshuffle)
