@@ -36,7 +36,17 @@ def _read_pairs_csv(path):
         ip, ig = 0, 1
     else:
         raise ValueError(f"{path}: expected columns 'pred,gt'")
-    return [(r[ip].strip(), r[ig].strip()) for r in rows if r and r[ip].strip()]
+    pairs = []
+    for r in rows:
+        if not r or not any(c.strip() for c in r):
+            continue                      # blank line
+        if len(r) <= max(ip, ig):
+            raise ValueError(
+                f"{path}: row {r!r} has {len(r)} columns, needs "
+                f"{max(ip, ig) + 1} ('pred' col {ip + 1}, 'gt' col {ig + 1})")
+        if r[ip].strip():
+            pairs.append((r[ip].strip(), r[ig].strip()))
+    return pairs
 
 
 def _evaluate_pair(pred_path, gt_path, classes, surface):

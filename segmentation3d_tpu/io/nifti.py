@@ -116,14 +116,6 @@ class _Hdr:
             raise ValueError(
                 f"{path}: bitpix {bitpix} mismatches datatype {self.datatype}")
 
-    def read_data(self, f, path, offset=None) -> np.ndarray:
-        """Read + scale the pixel block from ``f`` -> C-order [z,y,x] array."""
-        off = int(self.vox_offset if offset is None else offset)
-        f.seek(off)
-        count = int(np.prod(self.shape_fortran))
-        raw = f.read(count * self.dtype.itemsize)
-        return self.read_data_bytes(raw, path, offset=0)
-
     def read_data_bytes(self, raw: bytes, path, offset=None) -> np.ndarray:
         """Pixel block from an in-memory buffer -> C-order [z,y,x] array.
 
@@ -185,23 +177,25 @@ def read_nifti(path):
 
 
 def _pair_paths(path):
-    """(.hdr path, .img path) for any of .hdr/.img/.img.gz inputs; the .img
-    side resolves to whichever of .img / .img.gz exists (for reads)."""
+    """(.hdr path, .img path) for any of .hdr/.img/.img.gz inputs. An
+    explicitly named data file (.img or .img.gz) is used VERBATIM — if both
+    exist next to each other, the caller gets the one they asked for, never
+    a silently different sibling; only a .hdr input auto-resolves the data
+    side (.img, falling back to .img.gz)."""
     p = str(path)
     low = p.lower()
     if low.endswith(".hdr"):
         base = p[:-4]
+        img_path = base + ".img"
+        if not os.path.exists(img_path) and os.path.exists(img_path + ".gz"):
+            img_path += ".gz"
     elif low.endswith(".img.gz"):
-        base = p[:-7]
+        base, img_path = p[:-7], p
     elif low.endswith(".img"):
-        base = p[:-4]
+        base, img_path = p[:-4], p
     else:
         raise ValueError(f"not an Analyze pair path: {path}")
-    hdr_path = base + ".hdr"
-    img_path = base + ".img"
-    if not os.path.exists(img_path) and os.path.exists(img_path + ".gz"):
-        img_path += ".gz"
-    return hdr_path, img_path
+    return base + ".hdr", img_path
 
 
 def read_hdr_img(path):

@@ -80,7 +80,11 @@ def _parse_header(f, path):
         if ":" not in text:
             raise ValueError(f"{path}: malformed NRRD header line {text!r}")
         key, val = text.split(":", 1)
-        fields[key.strip().lower()] = val.strip()
+        key = key.strip().lower()
+        fields[key] = val.strip()
+        if key in ("data file", "datafile") and \
+                fields[key].split()[:1] == ["LIST"]:
+            break  # the remaining header lines are the per-file list
     return fields
 
 
@@ -107,7 +111,10 @@ def read_nrrd(path):
         if datafile is None:
             raw = f.read()
         else:
-            if any(ch in datafile for ch in "% "):  # LIST/format multi-file
+            # multi-file forms: "LIST [<subdim>]" or a printf-style
+            # "<format> <min> <max> <step> [<subdim>]" (contains %).
+            # A plain filename may legitimately contain spaces.
+            if datafile.split()[0].upper() == "LIST" or "%" in datafile:
                 raise ValueError(f"{path}: multi-file NRRD data is not supported")
             dpath = os.path.join(os.path.dirname(os.path.abspath(path)), datafile)
             with open(dpath, "rb") as df:
@@ -125,6 +132,17 @@ def read_nrrd(path):
         dtype = dtype.newbyteorder(">")
 
     encoding = fields.get("encoding", "raw").lower()
+    lskip = int(fields.get("line skip", fields.get("lineskip", 0)))
+    if lskip > 0:  # spec: skip N text lines of the data (file), THEN bytes
+        pos = 0
+        for _ in range(lskip):
+            nl = raw.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError(f"{path}: line skip {lskip} exceeds data")
+            pos = nl + 1
+        raw = raw[pos:]
+    elif lskip < 0:
+        raise ValueError(f"{path}: negative line skip {lskip}")
     skip = int(fields.get("byte skip", fields.get("byteskip", 0)))
     count = int(np.prod(sizes))
     if skip == -1:  # raw-only convention: data is the LAST count*itemsize bytes

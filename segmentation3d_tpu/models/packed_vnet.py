@@ -533,9 +533,13 @@ def calibrate_int8(net: SegmentationNet, variables, samples,
     headroom for unseen data."""
     apply_fn, fvars = build_packed_forward(net, variables, dtype=dtype,
                                            head_p=head_p, stats=True)
+    # jit: the stats forward is ~60+ primitives; eager dispatch would compile
+    # and dispatch each as its own program (seconds-to-minutes EACH on the
+    # axon relay — CLAUDE.md "minimize program COUNT"). One program instead.
+    jit_fn = jax.jit(apply_fn)
     amax: dict = {}
     for x in samples:
-        _, st = apply_fn(fvars, x)
+        _, st = jit_fn(fvars, x)
         st = jax.device_get(st)  # ONE host transfer for all ~30 scalars
         for k, v in st.items():
             amax[k] = max(amax.get(k, 0.0), float(v))

@@ -244,3 +244,65 @@ def test_nrrd_rejects_unknown(tmp_path):
     (tmp_path / "h.nrrd").write_bytes(hdr.encode() + b"00" * 48)
     with pytest.raises(ValueError, match="encoding"):
         read_image(tmp_path / "h.nrrd")
+
+
+def test_nrrd_line_skip(tmp_path):
+    """'line skip: N' skips N text lines of the data block before decoding
+    (applied before byte skip, per the spec)."""
+    data = np.arange(24, dtype=np.uint8).reshape(2, 3, 4)
+    hdr = "\n".join([
+        "NRRD0001", "type: uint8", "dimension: 3", "sizes: 4 3 2",
+        "encoding: raw", "line skip: 2",
+    ]) + "\n\n"
+    (tmp_path / "l.nrrd").write_bytes(
+        hdr.encode() + b"comment line\nanother\n" + data.tobytes())
+    v = read_image(tmp_path / "l.nrrd")
+    np.testing.assert_array_equal(v.data, data)
+    # combined with byte skip: lines first, then bytes
+    hdr2 = hdr.replace("line skip: 2", "line skip: 1\nbyte skip: 4")
+    (tmp_path / "lb.nrrd").write_bytes(
+        hdr2.encode() + b"junk\nXXXX" + data.tobytes())
+    v2 = read_image(tmp_path / "lb.nrrd")
+    np.testing.assert_array_equal(v2.data, data)
+
+
+def test_nrrd_multifile_list_rejected(tmp_path):
+    hdr = "\n".join([
+        "NRRD0001", "type: uint8", "dimension: 3", "sizes: 4 3 2",
+        "encoding: raw", "data file: LIST",
+    ]) + "\nslice0.raw\nslice1.raw\n"
+    (tmp_path / "m.nhdr").write_bytes(hdr.encode())
+    with pytest.raises(ValueError, match="multi-file"):
+        read_image(tmp_path / "m.nhdr")
+
+
+def test_nrrd_detached_filename_with_space(tmp_path):
+    data = np.arange(24, dtype=np.uint8).reshape(2, 3, 4)
+    (tmp_path / "my data.raw").write_bytes(data.tobytes())
+    hdr = "\n".join([
+        "NRRD0001", "type: uint8", "dimension: 3", "sizes: 4 3 2",
+        "encoding: raw", "data file: my data.raw",
+    ]) + "\n"
+    (tmp_path / "sp.nhdr").write_bytes(hdr.encode())
+    v = read_image(tmp_path / "sp.nhdr")
+    np.testing.assert_array_equal(v.data, data)
+
+
+def test_img_gz_named_explicitly_wins(tmp_path):
+    """read_image('x.img.gz') must read the named file even when a stale
+    sibling x.img exists."""
+    import gzip as _gzip
+    from segmentation3d_tpu.ops.geometry import Frame
+    from segmentation3d_tpu.io import write_image, Volume
+    good = np.full((4, 4, 4), 7, np.int16)
+    stale = np.zeros((4, 4, 4), np.int16)
+    write_image(Volume(good, Frame.identity()), tmp_path / "x.hdr")  # pair
+    # compress the good .img to .img.gz, then overwrite .img with stale data
+    raw = (tmp_path / "x.img").read_bytes()
+    (tmp_path / "x.img.gz").write_bytes(_gzip.compress(raw))
+    from segmentation3d_tpu.io import read_image as _ri
+    write_image(Volume(stale, Frame.identity()), tmp_path / "x.hdr")
+    v = _ri(tmp_path / "x.img.gz")
+    np.testing.assert_array_equal(v.data, good)
+    v2 = _ri(tmp_path / "x.img")          # the named .img = stale data
+    np.testing.assert_array_equal(v2.data, stale)

@@ -174,3 +174,16 @@ def test_seg_convert_cli(tmp_path):
         theirs = tnet(torch.tensor(x.transpose(0, 4, 1, 2, 3)))
     theirs = theirs.numpy().transpose(0, 2, 3, 4, 1)
     np.testing.assert_allclose(ours, theirs, atol=2e-4)
+
+
+def test_seg_eval_csv_malformed_row_clear_error(tmp_path):
+    """A row shorter than the pred/gt columns fails with a clear ValueError
+    naming the row, not a bare IndexError."""
+    from segmentation3d_tpu.cli.seg_eval import _read_pairs_csv
+    p = tmp_path / "pairs.csv"
+    p.write_text("case,pred,gt\ncase7\n")
+    with pytest.raises(ValueError, match="case7"):
+        _read_pairs_csv(str(p))
+    # blank lines are fine
+    p.write_text("pred,gt\na.nii,b.nii\n\n")
+    assert _read_pairs_csv(str(p)) == [("a.nii", "b.nii")]
