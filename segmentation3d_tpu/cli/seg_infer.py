@@ -69,6 +69,15 @@ def main(argv=None):
                              "volume over the mesh (halo exchange) instead "
                              "of replicating it — for volumes too large for "
                              "one chip")
+    parser.add_argument("--checkpoint", default=None, metavar="WHICH",
+                        help="which checkpoint of the model dir to run: "
+                             "'latest' (default), 'best' (written by "
+                             "cfg.train.save_best), or an epoch number")
+    parser.add_argument("--tta", default=None, metavar="AXES",
+                        help="test-time mirror augmentation: axes of the "
+                             "resampled volume to flip ('x', 'zy', 'all'); "
+                             "probabilities are averaged over every flip "
+                             "combination (2^n forwards per patch)")
     parser.add_argument("--fine_model", default=None,
                         help="enable coarse-to-fine: -m is the coarse model, "
                              "this is the fine model directory")
@@ -77,6 +86,10 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     if args.fine_model:
+        if args.checkpoint:
+            raise SystemExit(
+                "--checkpoint is not supported with --fine_model (ambiguous "
+                "between the coarse and fine models; both use their latest)")
         from segmentation3d_tpu.core.coarse_to_fine import segmentation_coarse_to_fine
         segmentation_coarse_to_fine(
             input_path=args.input, coarse_model_dir=args.model,
@@ -88,6 +101,8 @@ def main(argv=None):
             dtype=jnp.bfloat16 if (args.bf16 or args.int8) else jnp.float32,
             save_image=args.save_image,
             quant="int8" if args.int8 else None, act_clip=args.act_clip,
+            calib_image=args.int8_calib.split(",") if args.int8_calib else None,
+            tta=args.tta,
         )
         return
 
@@ -108,6 +123,7 @@ def main(argv=None):
         num_devices=args.num_devices, spatial_shard=args.spatial_shard,
         quant="int8" if args.int8 else None, act_clip=args.act_clip,
         calib_image=args.int8_calib.split(",") if args.int8_calib else None,
+        tta=args.tta, checkpoint=args.checkpoint,
     )
 
 

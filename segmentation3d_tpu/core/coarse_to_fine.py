@@ -128,16 +128,25 @@ _C2F_SESSIONS: dict = {}
 
 
 def _build_c2f_session(coarse_model_dir, fine_model_dir, dtype, patch,
-                       stride, batch_size, quant=None, act_clip=8.0):
+                       stride, batch_size, quant=None, act_clip=8.0,
+                       calib_paths=None, tta=()):
     """Load both models, attach fused forwards, build the fine inferer.
 
     ``quant="int8"`` quantizes the FINE model's packed forward (the fine
     pass dominates the two-pass time); the coarse pass keeps full
     precision (its whole-volume widths are only known per case, so it uses
-    the window forward, which has no quantized form). Misconfiguration
-    raises — never a silent full-precision run."""
+    the window forward, which has no quantized form). ``calib_paths``
+    calibrates the fine model's activation scales on a representative image
+    (one per modality), exactly like ``seg_infer --int8_calib``.
+    Misconfiguration raises — never a silent full-precision run."""
     coarse = load_seg_model(coarse_model_dir, dtype=dtype)
     fine = load_seg_model(fine_model_dir, dtype=dtype)
+    calib = None
+    if calib_paths is not None:
+        if quant is None:
+            raise ValueError("calib_image only applies with quant")
+        from segmentation3d_tpu.core.seg_infer import _calibrate_for_model
+        calib = _calibrate_for_model(fine, calib_paths, dtype)
 
     def attach_fused(model, patch_w, q=None):
         """Attach the packed-domain (or window) fused forward to a SegModel
@@ -156,7 +165,8 @@ def _build_c2f_session(coarse_model_dir, fine_model_dir, dtype, patch,
                 model.fused_apply, model.fused_vars = build_packed_forward(
                     model.net, model.variables, dtype=dtype,
                     head_p=head_p_for(patch_w, model.net.out_channels),
-                    quant=q, act_clip=act_clip)
+                    quant=q, act_clip=act_clip,
+                    calib=calib if q is not None else None)
             else:
                 if q is not None:
                     raise ValueError(
@@ -178,11 +188,13 @@ def _build_c2f_session(coarse_model_dir, fine_model_dir, dtype, patch,
     # model stride; width divisibility is only known per case, so use the
     # window-conv fused forward (always valid)
     attach_fused(coarse, 1)
+    # tta applies to the FINE pass only: the coarse pass exists to find the
+    # ROI, where mirror averaging buys nothing the margin doesn't already
     fine_inferer = SlidingWindowInferer(
         fine.net, patch, fine.out_channels, batch_size=batch_size,
         blend="gaussian" if stride != patch else "constant",
         apply_fn=getattr(fine, "fused_apply", None),
-        apply_vars=getattr(fine, "fused_vars", None))
+        apply_vars=getattr(fine, "fused_vars", None), tta=tta)
     return {"coarse": coarse, "fine": fine, "fine_inferer": fine_inferer,
             "coarse_cache": {}}
 
@@ -191,9 +203,14 @@ def segmentation_coarse_to_fine(
         input_path, coarse_model_dir, fine_model_dir, output_dir,
         seg_name="seg.mha", partition_size=(96, 96, 96),
         partition_stride=None, batch_size=8, margin_mm=16.0,
-        dtype=jnp.float32, save_image=False, quant=None, act_clip=8.0):
+        dtype=jnp.float32, save_image=False, quant=None, act_clip=8.0,
+        calib_image=None, tta=None):
     """Batch driver mirroring ``core.seg_infer.segmentation`` for the
-    two-pass pipeline."""
+    two-pass pipeline. ``calib_image`` (path or per-modality path list)
+    calibrates the quantized fine model like ``seg_infer --int8_calib``;
+    ``tta`` mirror-averages the fine pass like ``seg_infer --tta``."""
+    from segmentation3d_tpu.core.infer_engine import tta_axes
+    tta = tta_axes(tta)
     cases = find_cases(input_path)
     os.makedirs(output_dir, exist_ok=True)
 
@@ -207,16 +224,23 @@ def segmentation_coarse_to_fine(
     def _ck(d):
         c = _mio.latest_checkpoint(d)
         return (c, os.path.getmtime(os.path.join(c, "params.pth")))
+    calib_paths = None
+    if calib_image is not None:
+        calib_paths = tuple(calib_image) if isinstance(
+            calib_image, (list, tuple)) else (calib_image,)
+        if quant is None:
+            raise ValueError("calib_image only applies with quant")
     skey = (_ck(coarse_model_dir), _ck(fine_model_dir),
             jnp.dtype(dtype).name, patch, stride, int(batch_size),
-            quant, float(act_clip))
+            quant, float(act_clip), calib_paths, tta)
     sess = _C2F_SESSIONS.get(skey)
     if sess is None:
         while len(_C2F_SESSIONS) >= 2:
             _C2F_SESSIONS.pop(next(iter(_C2F_SESSIONS)))
         sess = _build_c2f_session(coarse_model_dir, fine_model_dir, dtype,
                                   patch, stride, batch_size, quant=quant,
-                                  act_clip=act_clip)
+                                  act_clip=act_clip, calib_paths=calib_paths,
+                                  tta=tta)
         _C2F_SESSIONS[skey] = sess
     coarse, fine = sess["coarse"], sess["fine"]
     fine_inferer, coarse_cache = sess["fine_inferer"], sess["coarse_cache"]

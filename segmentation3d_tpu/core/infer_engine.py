@@ -71,6 +71,36 @@ def weight_map_traced(patch_size_zyx, kind: str = "gaussian",
     return w[..., None].astype(dtype)
 
 
+def tta_axes(tta):
+    """Normalize a TTA spec — None/''/'none', 'all', an 'xz'/'x,z' string,
+    or an iterable of axis names — to a canonical ('z','y','x')-ordered
+    tuple of unique axis names."""
+    if tta is None:
+        return ()
+    if isinstance(tta, str):
+        t = tta.strip().lower().replace(",", "")
+        if t in ("", "none"):
+            return ()
+        tta = "zyx" if t == "all" else t
+    axes = {str(a).strip().lower() for a in tta}
+    bad = axes - {"z", "y", "x"}
+    if bad:
+        raise ValueError(f"tta axes must be from z/y/x (or 'all'), "
+                         f"got {sorted(bad)}")
+    return tuple(a for a in ("z", "y", "x") if a in axes)
+
+
+def tta_flip_combos(axes):
+    """All non-empty flip combinations of the named patch axes, as tuples of
+    tensor dims of a [B, z, y, x, C] patch batch (z=1, y=2, x=3)."""
+    dim = {"z": 1, "y": 2, "x": 3}
+    dims = [dim[a] for a in tta_axes(axes)]
+    combos = []
+    for bits in range(1, 1 << len(dims)):
+        combos.append(tuple(d for i, d in enumerate(dims) if bits >> i & 1))
+    return tuple(combos)
+
+
 class SlidingWindowInferer:
     """Jitted whole-volume inference: partition -> batched forward -> blend.
 
@@ -80,7 +110,7 @@ class SlidingWindowInferer:
 
     def __init__(self, net, patch_size_zyx, num_classes, batch_size=8,
                  blend="gaussian", out_dtype=jnp.float32, apply_fn=None,
-                 mesh=None, apply_vars=None, packed_tail=False):
+                 mesh=None, apply_vars=None, packed_tail=False, tta=None):
         self.net = net
         self.apply_fn = apply_fn  # overrides net.apply (e.g. fused forward)
         self.patch_size = tuple(int(v) for v in patch_size_zyx)
@@ -88,6 +118,15 @@ class SlidingWindowInferer:
         self.batch_size = int(batch_size)
         self.blend = blend  # weight map is built inside the trace
         self.packed_tail = bool(packed_tail)
+        # test-time mirror augmentation: average the per-patch probabilities
+        # over every flip combination of the given axes (2^n forwards per
+        # patch — an opt-in accuracy/compute trade; beyond the reference,
+        # which has no TTA). Axes name the PATCH's spatial dims z/y/x.
+        self.tta = tta_axes(tta)
+        self._tta_flips = tta_flip_combos(self.tta)
+        if self._tta_flips and self.packed_tail:
+            raise ValueError("tta is not supported with packed_tail "
+                             "(flips need the unpacked [.., W, NC] output)")
         self.out_dtype = out_dtype
         # multi-chip: split the box-batch axis over mesh axis "data"
         self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
@@ -158,8 +197,15 @@ class SlidingWindowInferer:
                 return self.apply_fn(variables, patches, train=False,
                                      return_packed=True)
             if self.apply_fn is not None:
-                return self.apply_fn(variables, patches, train=False)
-            return self.net.apply(variables, patches, train=False)
+                apply = lambda p: self.apply_fn(variables, p, train=False)
+            else:
+                apply = lambda p: self.net.apply(variables, p, train=False)
+            out = apply(patches)
+            for dims in self._tta_flips:  # static unroll: 2^n - 1 mirrors
+                out = out + jnp.flip(apply(jnp.flip(patches, dims)), dims)
+            if self._tta_flips:
+                out = out / np.float32(1 + len(self._tta_flips))
+            return out
 
         def body(carry, inp):
             prob, wsum = carry

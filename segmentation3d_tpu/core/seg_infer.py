@@ -102,14 +102,19 @@ class SegModel:
         self.epoch_idx = epoch_idx
 
 
-def load_seg_model(model_dir: str, dtype=jnp.float32) -> SegModel:
+def load_seg_model(model_dir: str, dtype=jnp.float32,
+                   checkpoint=None) -> SegModel:
     """Scan ``<model_dir>/checkpoints/chk_*`` for the latest epoch and restore
     everything from the self-describing ``params.pth``.
+
+    ``checkpoint``: ``None``/``'latest'`` (highest epoch, the reference
+    behavior), ``'best'`` (the ``cfg.train.save_best`` checkpoint), or an
+    epoch number.
 
     Checkpoints written by this framework restore by name; checkpoints
     trained with the PyTorch reference (foreign module names) fall back to
     the positional structural importer (``compat.torch_import``)."""
-    chk = model_io.latest_checkpoint(model_dir)
+    chk = model_io.resolve_checkpoint(model_dir, checkpoint)
     payload = model_io.load_checkpoint_payload(chk)
     import jax
     net_mod = get_network_module(payload["net"])
@@ -517,7 +522,7 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
                  batch_size=8, blend="gaussian", post_processing=None,
                  dtype=jnp.float32, fused=None, shape_bucket=64,
                  num_devices=1, spatial_shard=False, quant=None,
-                 act_clip=8.0, calib_image=None):
+                 act_clip=8.0, calib_image=None, tta=None, checkpoint=None):
     """Segment all cases found at ``input_path`` — the reference's public
     entry (``core/seg_infer.py:segmentation`` ≈L270-340).
 
@@ -540,8 +545,17 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     representative image; its measured per-site activation ranges replace
     the uncalibrated ``act_clip``-sigma assumption (one full-precision
     forward at session build).
+    ``tta``: test-time mirror augmentation — axis names ('x', 'zy', 'all',
+    or a list) of the resampled volume to flip; probabilities are averaged
+    over every flip combination (2^n forwards per patch). Beyond the
+    reference (which has no TTA); opt-in.
+    ``checkpoint``: which checkpoint of ``model_dir`` to run — ``None``/
+    ``'latest'`` (reference behavior), ``'best'`` (the best-validation
+    checkpoint written by ``cfg.train.save_best``), or an epoch number.
     """
     del gpu_id
+    from segmentation3d_tpu.core.infer_engine import tta_axes
+    tta = tta_axes(tta)  # normalize early: bad axis names fail every case
     mesh = None
     if num_devices is not None and (num_devices > 1 or num_devices < 0):
         from segmentation3d_tpu.parallel import make_mesh
@@ -560,7 +574,7 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     # re-dispatch per call on the remote-compile relay AFTER an identical
     # call had already compiled everything in-process. Keyed by checkpoint
     # identity + every engine option that shapes the compiled programs.
-    chk = model_io.latest_checkpoint(model_dir)
+    chk = model_io.resolve_checkpoint(model_dir, checkpoint)
     calib_paths = None
     if calib_image is not None:
         calib_paths = tuple(calib_image) if isinstance(
@@ -570,14 +584,15 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     skey = (chk, os.path.getmtime(os.path.join(chk, "params.pth")),
             jnp.dtype(dtype).name, bool(fused), blend, int(batch_size),
             bool(spatial_shard), partition_type, quant, float(act_clip),
-            calib_paths,
+            calib_paths, tta,
             tuple(np.asarray(mesh.devices).reshape(-1).tolist())
             if mesh is not None else None)
     sess = _SESSIONS.get(skey)
     if sess is None:
         while len(_SESSIONS) >= _SESSION_CAP:  # droppable: caches only
             _SESSIONS.pop(next(iter(_SESSIONS)))
-        sess = {"model": load_seg_model(model_dir, dtype=dtype),
+        sess = {"model": load_seg_model(model_dir, dtype=dtype,
+                                        checkpoint=checkpoint),
                 "builders": {}, "inferers": {}, "calib": None}
         if calib_paths is not None:
             sess["calib"] = _calibrate_for_model(sess["model"],
@@ -639,6 +654,8 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
             raise ValueError("spatial_shard works with SLAB partitioning")
         if mesh is None:
             raise ValueError("spatial_shard requires num_devices > 1")
+        if tta:
+            raise ValueError("tta is not supported with spatial_shard")
     if partition_type not in (DISABLE, SIZE, NUM, SLAB):
         raise NotImplementedError(f"partition_type {partition_type}")
 
@@ -657,7 +674,7 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
                    partition_size, partition_stride, batch_size, blend,
                    spatial_shard, shape_bucket, save_image, save_prob,
                    post_processing, output_dir, seg_name, inferers, results,
-                   failures, writer)
+                   failures, writer, tta=tta)
     finally:
         # the writer is drained even when the loop is aborted (KeyboardInterrupt,
         # a config-level error): cases already reported successful must not
@@ -675,7 +692,7 @@ def _case_loop(cases, model, mesh, fused_forward_for, partition_type,
                partition_size, partition_stride, batch_size, blend,
                spatial_shard, shape_bucket, save_image, save_prob,
                post_processing, output_dir, seg_name, inferers, results,
-               failures, writer):
+               failures, writer, tta=()):
     for image_paths, vols, devs, read_err in _ReadAhead(cases):
         case_name = os.path.basename(image_paths[0])
         for suf in IMAGE_EXTS:
@@ -749,7 +766,8 @@ def _case_loop(cases, model, mesh, fused_forward_for, partition_type,
                         model.net, patch, model.out_channels,
                         batch_size=batch_size,
                         blend=blend if stride != patch else "constant",
-                        apply_fn=apply_fn, mesh=mesh, apply_vars=apply_vars)
+                        apply_fn=apply_fn, mesh=mesh, apply_vars=apply_vars,
+                        tta=tta)
             inferer = inferers[key]
 
             mask_vol, prob_out, native, secs = segmentation_one_case(

@@ -411,8 +411,21 @@ def train(config_file: str):
     val_csv = os.path.join(save_dir, "val_dice.csv")
     val_inferers = {}  # one compiled program per shape bucket, run-lifetime
     num_classes = int(cfg.dataset.num_classes)
+    # best-validation checkpoint (ADDITIVE): every improvement of the mean
+    # val Dice rewrites <save_dir>/checkpoints/chk_best (invisible to the
+    # numeric latest-checkpoint scan; selected at inference with
+    # ``seg_infer --checkpoint best``)
+    save_best = bool(cfg.train.get("save_best", False))
+    if save_best and not val_list:
+        raise ValueError("cfg.train.save_best requires cfg.train.val_list")
+    best_dice = [-1.0]
+    if save_best and resume:
+        best_chk = os.path.join(save_dir, "checkpoints", "chk_best")
+        if os.path.isfile(os.path.join(best_chk, "params.pth")):
+            prev = model_io.load_checkpoint_payload(best_chk)
+            best_dice[0] = float(prev.get("val_dice", -1.0))
 
-    def validate(epoch_idx):
+    def validate(epoch_idx, batch_idx):
         if not val_list or not primary:
             return
         from segmentation3d_tpu.core.validation import validate_cases
@@ -438,6 +451,25 @@ def train(config_file: str):
                 f.write(f"epoch,val_dice{',' + cols if cols else ''}\n")
             vals = ",".join(f"{d}" for d in per_class)
             f.write(f"{epoch_idx},{mean_dice}{',' + vals if vals else ''}\n")
+        if save_best and mean_dice > best_dice[0]:
+            best_dice[0] = mean_dice
+            model_io.save_checkpoint(
+                save_dir, epoch_idx, batch_idx,
+                {"params": host_vars["params"],
+                 "batch_stats": host_vars["batch_stats"]},
+                net_name=cfg.net.name, max_stride=max_stride,
+                in_channels=dataset.num_modality,
+                out_channels=num_classes,
+                spacing=cfg.dataset.spacing,
+                interpolation=cfg.dataset.interpolation,
+                crop_normalizers=cfg.dataset.crop_normalizers,
+                config_file=config_file,
+                extra={"val_dice": float(mean_dice),
+                       **({"net_kwargs": dict(net_kwargs)} if net_kwargs
+                          else {})},
+                dir_name="chk_best")
+            logger.info(f"saved chk_best (val dice {mean_dice:.4f}, "
+                        f"epoch {epoch_idx})")
 
     save_epochs = int(cfg.train.save_epochs)
     dataset_len = len(dataset)
@@ -526,7 +558,7 @@ def train(config_file: str):
                         and e != last_saved_epoch:
                     flush_logs()
                     save(e, bi)
-                    validate(e)
+                    validate(e, bi)
                     last_saved_epoch = e
                 prev_epoch = e
             batch_idx += k_eff
@@ -563,7 +595,7 @@ def train(config_file: str):
                 and epoch_idx != last_saved_epoch:
             flush_logs()  # csv/logs complete up to every checkpoint
             save(epoch_idx, batch_idx)
-            validate(epoch_idx)
+            validate(epoch_idx, batch_idx)
             last_saved_epoch = epoch_idx
         prev_epoch = epoch_idx
         batch_idx += 1
@@ -573,7 +605,7 @@ def train(config_file: str):
     final_epoch = (batch_idx * batchsize) // dataset_len
     if final_epoch != last_saved_epoch:
         save(final_epoch, max(batch_idx - 1, 0))
-        validate(final_epoch)
+        validate(final_epoch, max(batch_idx - 1, 0))
     if profile_dir:
         jax.profiler.stop_trace()
     if primary:

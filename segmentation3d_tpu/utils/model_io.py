@@ -150,9 +150,15 @@ def save_checkpoint(save_dir: str, epoch_idx: int, batch_idx: int, variables,
                     net_name: str, max_stride: int, in_channels: int,
                     out_channels: int, spacing, interpolation: str,
                     crop_normalizers, config_file: str | None = None,
-                    opt_state=None, extra: dict | None = None) -> str:
-    """Write ``chk_<epoch>/params.pth`` (+ config copy). Returns the chk dir."""
-    chk = checkpoint_dir(save_dir, epoch_idx)
+                    opt_state=None, extra: dict | None = None,
+                    dir_name: str | None = None) -> str:
+    """Write ``chk_<epoch>/params.pth`` (+ config copy). Returns the chk dir.
+
+    ``dir_name`` overrides the directory name (e.g. ``chk_best`` for the
+    best-validation checkpoint — non-numeric names are invisible to
+    :func:`latest_checkpoint`, so the reference layout contract holds)."""
+    chk = os.path.join(save_dir, "checkpoints", dir_name) if dir_name \
+        else checkpoint_dir(save_dir, epoch_idx)
     os.makedirs(chk, exist_ok=True)
     state_dict, layouts = flatten_variables(variables)
     payload = {
@@ -233,6 +239,30 @@ def load_opt_state(chk_dir: str):
         return None
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+def resolve_checkpoint(model_dir: str, which=None) -> str:
+    """Checkpoint dir for a selector: ``None``/``'latest'`` -> highest
+    epoch; ``'best'`` -> ``chk_best`` (written by ``cfg.train.save_best``);
+    an int or digit string -> ``chk_<n>``."""
+    if which is None or which == "latest":
+        return latest_checkpoint(model_dir)
+    if which == "best":
+        chk = os.path.join(model_dir, "checkpoints", "chk_best")
+        if not os.path.isfile(os.path.join(chk, "params.pth")):
+            raise FileNotFoundError(
+                f"{chk} not found — train with cfg.train.save_best = True "
+                "(and a val_list) to produce a best-validation checkpoint")
+        return chk
+    try:
+        epoch = int(which)
+    except (TypeError, ValueError):
+        raise ValueError(f"checkpoint selector must be 'latest', 'best' or "
+                         f"an epoch number, got {which!r}") from None
+    chk = checkpoint_dir(model_dir, epoch)
+    if not os.path.isfile(os.path.join(chk, "params.pth")):
+        raise FileNotFoundError(f"no checkpoint at {chk}")
+    return chk
 
 
 def latest_checkpoint(model_dir: str) -> str:

@@ -136,3 +136,15 @@ def test_quant_misconfiguration_raises(c2f_setup):
             input_path=cases[0][0][0], coarse_model_dir=save_dir,
             fine_model_dir=save_dir, output_dir=str(root / "q8"),
             partition_size=(16, 16, 16), quant="int8")
+
+
+def test_calib_without_quant_raises(c2f_setup):
+    """--int8_calib is only meaningful with --int8; passing it alone must
+    raise (mirrors segmentation()'s check) instead of being ignored."""
+    root, cases, save_dir = c2f_setup
+    from segmentation3d_tpu.core.coarse_to_fine import segmentation_coarse_to_fine
+    with pytest.raises(ValueError, match="calib_image"):
+        segmentation_coarse_to_fine(
+            input_path=cases[0][0][0], coarse_model_dir=save_dir,
+            fine_model_dir=save_dir, output_dir=str(root / "cal"),
+            partition_size=(16, 16, 16), calib_image=cases[0][0][0])

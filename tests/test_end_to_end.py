@@ -536,3 +536,91 @@ def test_int8_calibrated_inference(trained_model, tmp_path):
     with _pytest.raises(ValueError, match="calib_image"):
         segmentation(img_path, save_dir, str(tmp_path / "bad"),
                      seg_name="seg.nii.gz", calib_image=img_path)
+
+
+def test_tta_inference(trained_model):
+    """--tta mirror averaging still segments the phantom (Dice >= 0.9) and
+    bad axis names fail fast, before any case runs."""
+    import pytest
+    root, cases, save_dir, _ = trained_model
+    from segmentation3d_tpu.core.seg_infer import segmentation
+    from segmentation3d_tpu.io import read_image
+    out_dir = str(root / "out_tta")
+    results = segmentation(cases[0][0][0], save_dir, out_dir,
+                           seg_name="seg.nii.gz", batch_size=1, tta="xy")
+    assert len(results) == 1
+    pred = read_image(os.path.join(out_dir, results[0][0], "seg.nii.gz"))
+    truth = read_image(cases[0][1])
+    assert _dice(pred.data, truth.data) >= 0.90
+    with pytest.raises(ValueError, match="tta axes"):
+        segmentation(cases[0][0][0], save_dir, out_dir,
+                     seg_name="seg.nii.gz", tta="bogus")
+
+
+def test_save_best_checkpoint(tmp_path):
+    """cfg.train.save_best writes chk_best at val-Dice improvements; it is
+    self-describing, records its val_dice/epoch, is invisible to the
+    numeric latest scan, and loads via checkpoint='best'."""
+    import pytest
+    data = tmp_path / "data"
+    cases = [make_sphere_case(str(data), f"c{i}", shape_zyx=(32, 32, 32),
+                              seed=i) for i in range(3)]
+    lst = make_train_list(str(tmp_path / "train.txt"), cases[:2])
+    val = make_train_list(str(tmp_path / "val.txt"), cases[2:])
+    save_dir = str(tmp_path / "model")
+    cfg_path = write_train_config(
+        str(tmp_path / "config.py"), lst, save_dir,
+        crop_size=(32, 32, 32), epochs=40, batchsize=2, lr=3e-3,
+        save_epochs=10, sampling_method="CENTER",
+        extra=("__C.net.base_channels = 4\n"
+               f"__C.train.val_list = r'{val}'\n"
+               "__C.train.save_best = True\n"))
+    from segmentation3d_tpu.core.seg_train import train
+    train(cfg_path)
+    from segmentation3d_tpu.utils import model_io
+    best = os.path.join(save_dir, "checkpoints", "chk_best")
+    assert os.path.isfile(os.path.join(best, "params.pth"))
+    payload = model_io.load_checkpoint_payload(best)
+    assert 0.0 <= payload["val_dice"] <= 1.0
+    # the numeric latest scan must not pick chk_best
+    assert model_io.latest_checkpoint(save_dir).endswith(
+        f"chk_{payload['epoch_idx']}") or "chk_best" not in \
+        model_io.latest_checkpoint(save_dir)
+    # resolve_checkpoint selectors
+    assert model_io.resolve_checkpoint(save_dir, "best") == best
+    assert model_io.resolve_checkpoint(save_dir, None) == \
+        model_io.latest_checkpoint(save_dir)
+    ep = payload["epoch_idx"]
+    if os.path.isdir(os.path.join(save_dir, "checkpoints", f"chk_{ep}")):
+        assert model_io.resolve_checkpoint(save_dir, ep).endswith(f"chk_{ep}")
+    with pytest.raises(ValueError, match="selector"):
+        model_io.resolve_checkpoint(save_dir, "bogus")
+    # chk_best's recorded val_dice must be the MAX of val_dice.csv
+    import csv
+    with open(os.path.join(save_dir, "val_dice.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert abs(payload["val_dice"] - max(float(r["val_dice"]) for r in rows)) < 1e-9
+    # inference from the best checkpoint
+    from segmentation3d_tpu.core.seg_infer import segmentation
+    out = str(tmp_path / "out_best")
+    results = segmentation(cases[2][0][0], save_dir, out,
+                           seg_name="seg.nii.gz", checkpoint="best")
+    assert len(results) == 1
+    from segmentation3d_tpu.io import read_image
+    pred = read_image(os.path.join(out, results[0][0], "seg.nii.gz"))
+    truth = read_image(cases[2][1])
+    assert _dice(pred.data, truth.data) > 0.3
+
+
+def test_save_best_requires_val_list(tmp_path):
+    import pytest
+    data = tmp_path / "data"
+    cases = [make_sphere_case(str(data), "c0", shape_zyx=(32, 32, 32))]
+    lst = make_train_list(str(tmp_path / "train.txt"), cases)
+    cfg_path = write_train_config(
+        str(tmp_path / "config.py"), lst, str(tmp_path / "model"),
+        crop_size=(32, 32, 32), epochs=2, batchsize=1,
+        extra="__C.train.save_best = True\n")
+    from segmentation3d_tpu.core.seg_train import train
+    with pytest.raises(ValueError, match="save_best"):
+        train(cfg_path)

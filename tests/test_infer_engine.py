@@ -85,3 +85,74 @@ def test_real_vnet_through_engine():
     seg, prob = inf(variables, vol, stride_zyx=(16, 16, 16), return_prob=True)
     assert seg.shape == (32, 32, 32)
     np.testing.assert_allclose(np.asarray(prob.sum(-1)), 1.0, atol=1e-4)
+
+
+def test_tta_axes_normalization():
+    from segmentation3d_tpu.core.infer_engine import tta_axes, tta_flip_combos
+    assert tta_axes(None) == () and tta_axes("") == () and tta_axes("none") == ()
+    assert tta_axes("all") == ("z", "y", "x")
+    assert tta_axes("x,z") == ("z", "x") and tta_axes(["X", "y"]) == ("y", "x")
+    import pytest
+    with pytest.raises(ValueError, match="tta axes"):
+        tta_axes("q")
+    assert tta_flip_combos("x") == ((3,),)
+    combos = tta_flip_combos("zyx")
+    assert len(combos) == 7 and (1, 2, 3) in combos
+
+
+class _AsymNet:
+    """Fake net whose output depends on position within the patch, so
+    mirror averaging is NOT a no-op: prob_1 = mean(x over patch) * ramp."""
+
+    def apply(self, variables, x, train=False):
+        n = x.shape[3]
+        ramp = jnp.linspace(0.1, 0.9, n).reshape(1, 1, 1, n, 1)
+        v = jnp.clip(x[..., :1] * ramp, 0.0, 1.0)
+        return jnp.concatenate([1.0 - v, v], axis=-1)
+
+
+def test_tta_matches_manual_flip_average():
+    """tta='x' must equal the hand-computed mean of the plain forward and
+    the flip-forward-unflip forward, patch by patch."""
+    rng = np.random.default_rng(3)
+    vol = rng.uniform(0.2, 0.8, size=(8, 8, 16, 1)).astype(np.float32)
+    net = _AsymNet()
+    patch = (8, 8, 8)
+    plain = SlidingWindowInferer(net, patch, 2, batch_size=2, blend="constant")
+    tta = SlidingWindowInferer(net, patch, 2, batch_size=2, blend="constant",
+                               tta="x")
+    _, p_tta = tta(None, jnp.asarray(vol), stride_zyx=(8, 8, 8),
+                   return_prob=True)
+
+    # expected: run the plain engine on vol and on x-flipped vol, average
+    _, p0 = plain(None, jnp.asarray(vol), stride_zyx=(8, 8, 8),
+                  return_prob=True)
+    _, p1 = plain(None, jnp.asarray(vol[:, :, ::-1].copy()),
+                  stride_zyx=(8, 8, 8), return_prob=True)
+    # per-patch flip == whole-volume flip here because the patch grid is
+    # x-symmetric (16 = 2 full patches)
+    expect = (np.asarray(p0) + np.asarray(p1)[:, :, ::-1]) / 2.0
+    np.testing.assert_allclose(np.asarray(p_tta), expect, atol=1e-5)
+
+
+def test_tta_all_is_mean_of_8_forwards():
+    rng = np.random.default_rng(4)
+    vol = rng.uniform(size=(8, 8, 8, 1)).astype(np.float32)
+    net = _AsymNet()
+    inf = SlidingWindowInferer(net, (8, 8, 8), 2, batch_size=1, tta="all")
+    _, prob = inf(None, jnp.asarray(vol), return_prob=True)
+    acc = np.zeros((8, 8, 8, 2), np.float32)
+    x = jnp.asarray(vol)[None]
+    for bits in range(8):
+        dims = tuple(d for i, d in enumerate((1, 2, 3)) if bits >> i & 1)
+        out = net.apply(None, jnp.flip(x, dims) if dims else x)
+        out = jnp.flip(out, dims) if dims else out
+        acc += np.asarray(out[0])
+    np.testing.assert_allclose(np.asarray(prob), acc / 8.0, atol=1e-5)
+
+
+def test_tta_rejects_packed_tail():
+    import pytest
+    with pytest.raises(ValueError, match="tta"):
+        SlidingWindowInferer(_AsymNet(), (8, 8, 8), 2, packed_tail=True,
+                             tta="x")
