@@ -23,7 +23,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="3D segmentation inference")
     parser.add_argument("-i", "--input", required=True,
                         help="input image / .txt list / .csv / folder")
-    parser.add_argument("-m", "--model", required=True, help="model directory")
+    parser.add_argument("-m", "--model", required=True, action="append",
+                        help="model directory; repeat for an ensemble whose "
+                             "class probabilities are averaged (members must "
+                             "be folds of one configuration)")
     parser.add_argument("-o", "--output", required=True, help="output directory")
     parser.add_argument("-n", "--seg_name", default="seg.mha",
                         help="output segmentation file name")
@@ -90,9 +93,12 @@ def main(argv=None):
             raise SystemExit(
                 "--checkpoint is not supported with --fine_model (ambiguous "
                 "between the coarse and fine models; both use their latest)")
+        if len(args.model) > 1:
+            raise SystemExit(
+                "ensembles (-m repeated) are not supported with --fine_model")
         from segmentation3d_tpu.core.coarse_to_fine import segmentation_coarse_to_fine
         segmentation_coarse_to_fine(
-            input_path=args.input, coarse_model_dir=args.model,
+            input_path=args.input, coarse_model_dir=args.model[0],
             fine_model_dir=args.fine_model, output_dir=args.output,
             seg_name=args.seg_name,
             partition_size=args.partition_size or (96, 96, 96),
@@ -113,7 +119,9 @@ def main(argv=None):
         post = {"type": "remove_small_cc", "threshold": args.post_threshold}
 
     segmentation(
-        input_path=args.input, model_dir=args.model, output_dir=args.output,
+        input_path=args.input,
+        model_dir=args.model[0] if len(args.model) == 1 else args.model,
+        output_dir=args.output,
         seg_name=args.seg_name, gpu_id=args.gpu_id,
         save_image=args.save_image, save_prob=args.save_prob,
         partition_type=args.partition_type, partition_size=args.partition_size,

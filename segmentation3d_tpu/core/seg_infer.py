@@ -363,12 +363,33 @@ def _post_prob(prob, coeffs, *, kind, out_shape):
                          out_dtype=jnp.float16)
 
 
+@_jax.jit
+def _ens_add(a, b):
+    return a + b
+
+
+@_functools.partial(_jax.jit, static_argnames=("n",))
+def _ens_finalize(prob_sum, *, n):
+    """Ensemble tail: mean of the member probability maps + argmax, one tiny
+    program (program COUNT is a first-order cost on the remote-compile
+    relay)."""
+    prob = prob_sum / np.float32(n)
+    return prob, jnp.argmax(prob, axis=-1).astype(jnp.uint8)
+
+
 def segmentation_one_case(model: SegModel, image_paths, inferer: SlidingWindowInferer,
                           stride_zyx=None, save_prob=False, post_processing=None,
                           fill_value: float = 0.0, shape_bucket: int = 64,
-                          vols=None, dev_data=None, defer_host=False):
+                          vols=None, dev_data=None, defer_host=False,
+                          extra_members=()):
     """Segment one (possibly multi-modality) case. Returns (mask Volume,
     prob arrays or None, native Volume, seconds).
+
+    ``extra_members``: additional ensemble members as ``(SegModel, inferer)``
+    pairs sharing this model's preprocessing contract (same spacing,
+    interpolation, normalizers — enforced by :func:`segmentation`). Class
+    probabilities are averaged over all members on device before the argmax;
+    the preprocessed iso volume is built ONCE and shared.
 
     ``shape_bucket``: iso volumes are padded up to multiples of this (instead
     of just ``max_stride``) so cases of similar size share one compiled
@@ -427,8 +448,17 @@ def segmentation_one_case(model: SegModel, image_paths, inferer: SlidingWindowIn
         channels.append(iso)
     vol = jnp.stack(channels, axis=-1)  # [D,H,W,C]
 
-    seg_iso, prob = inferer(model.variables, vol, stride_zyx=stride_zyx,
-                            return_prob=True)
+    if extra_members:
+        prob = inferer(model.variables, vol, stride_zyx=stride_zyx,
+                       return_prob=True)[1]
+        for m2, inf2 in extra_members:
+            prob = _ens_add(prob, inf2(m2.variables, vol,
+                                       stride_zyx=stride_zyx,
+                                       return_prob=True)[1])
+        prob, seg_iso = _ens_finalize(prob, n=1 + len(extra_members))
+    else:
+        seg_iso, prob = inferer(model.variables, vol, stride_zyx=stride_zyx,
+                                return_prob=True)
 
     # resample mask back to the native input frame (NN), then bit-pack it on
     # device: the host link is the bottleneck (~20-25 MB/s measured), so a
@@ -552,6 +582,12 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     ``checkpoint``: which checkpoint of ``model_dir`` to run — ``None``/
     ``'latest'`` (reference behavior), ``'best'`` (the best-validation
     checkpoint written by ``cfg.train.save_best``), or an epoch number.
+    ``model_dir`` may be a LIST of model directories (``seg_infer -m a -m
+    b``): an ensemble whose class probabilities are averaged on device
+    before the argmax. Members must share the preprocessing contract
+    (spacing, interpolation, normalizers, channel counts) — cross-fold
+    ensembles of one config; the iso volume is preprocessed once and
+    shared. Beyond the reference; opt-in.
     """
     del gpu_id
     from segmentation3d_tpu.core.infer_engine import tta_axes
@@ -574,14 +610,21 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     # re-dispatch per call on the remote-compile relay AFTER an identical
     # call had already compiled everything in-process. Keyed by checkpoint
     # identity + every engine option that shapes the compiled programs.
-    chk = model_io.resolve_checkpoint(model_dir, checkpoint)
+    model_dirs = [model_dir] if isinstance(model_dir, (str, os.PathLike)) \
+        else [str(d) for d in model_dir]
+    if not model_dirs:
+        raise ValueError("model_dir must name at least one model directory")
+    chks = tuple(model_io.resolve_checkpoint(str(d), checkpoint)
+                 for d in model_dirs)
     calib_paths = None
     if calib_image is not None:
         calib_paths = tuple(calib_image) if isinstance(
             calib_image, (list, tuple)) else (calib_image,)
         if quant is None:
             raise ValueError("calib_image only applies with quant")
-    skey = (chk, os.path.getmtime(os.path.join(chk, "params.pth")),
+    skey = (chks,
+            tuple(os.path.getmtime(os.path.join(c, "params.pth"))
+                  for c in chks),
             jnp.dtype(dtype).name, bool(fused), blend, int(batch_size),
             bool(spatial_shard), partition_type, quant, float(act_clip),
             calib_paths, tta,
@@ -591,17 +634,20 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     if sess is None:
         while len(_SESSIONS) >= _SESSION_CAP:  # droppable: caches only
             _SESSIONS.pop(next(iter(_SESSIONS)))
-        sess = {"model": load_seg_model(model_dir, dtype=dtype,
-                                        checkpoint=checkpoint),
-                "builders": {}, "inferers": {}, "calib": None}
+        ms = [load_seg_model(str(d), dtype=dtype, checkpoint=checkpoint)
+              for d in model_dirs]
+        _check_ensemble_contract(ms, model_dirs)
+        sess = {"models": ms, "builders": {}, "inferers": {},
+                "calib": [None] * len(ms)}
         if calib_paths is not None:
-            sess["calib"] = _calibrate_for_model(sess["model"],
-                                                 list(calib_paths), dtype)
+            sess["calib"] = [_calibrate_for_model(m, list(calib_paths), dtype)
+                             for m in ms]
         _SESSIONS[skey] = sess
-    model = sess["model"]
+    models = sess["models"]
+    model = models[0]
     _builders = sess["builders"]
 
-    def fused_forward_for(patch):
+    def fused_forward_for(patch, mi=0):
         """(apply_fn, apply_vars) for a patch shape: the packed-domain
         forward (every op in channels-minor [.., cols, P*C] form — 38.8 ->
         54.1 volumes/min/chip on the 512^3 headline) when the patch width
@@ -609,17 +655,18 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
         fused is off or the architecture is unsupported."""
         if not fused:
             return None, None
+        m = models[mi]
         from segmentation3d_tpu.models.packed_vnet import _p_for
         from segmentation3d_tpu.ops.packed_conv import head_p_for
-        p0 = _p_for(model.net.base_channels)
+        p0 = _p_for(m.net.base_channels)
         if patch[2] % p0 == 0:
             # head packing adapts to the patch width (W-divisible; the
             # proj kernel is numpy-prebuilt so it keys the builder cache)
-            ph = head_p_for(patch[2], model.net.out_channels)
-            key = ("packed", ph)
+            ph = head_p_for(patch[2], m.net.out_channels)
+            key = (mi, "packed", ph)
         else:
-            key = "window"
-        if quant is not None and key == "window":
+            key = (mi, "window")
+        if quant is not None and key[1] == "window":
             # never degrade silently: int8 requires the packed route
             raise ValueError(
                 f"quant={quant!r} requires the packed-domain forward, but "
@@ -628,17 +675,18 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
                 "the quant option")
         if key not in _builders:
             try:
-                if key != "window":
+                if key[1] != "window":
                     from segmentation3d_tpu.models.packed_vnet import (
                         build_packed_forward)
                     _builders[key] = build_packed_forward(
-                        model.net, model.variables, dtype=dtype, head_p=ph,
-                        quant=quant, act_clip=act_clip, calib=sess["calib"])
+                        m.net, m.variables, dtype=dtype, head_p=ph,
+                        quant=quant, act_clip=act_clip,
+                        calib=sess["calib"][mi])
                 else:
                     from segmentation3d_tpu.models.fused_vnet import (
                         build_fused_forward)
                     _builders[key] = build_fused_forward(
-                        model.net, model.variables, dtype=dtype,
+                        m.net, m.variables, dtype=dtype,
                         wide_xy=(partition_type == SLAB))
             except (NotImplementedError, KeyError, AssertionError):
                 if quant is not None:
@@ -656,6 +704,8 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
             raise ValueError("spatial_shard requires num_devices > 1")
         if tta:
             raise ValueError("tta is not supported with spatial_shard")
+        if len(models) > 1:
+            raise ValueError("ensembles are not supported with spatial_shard")
     if partition_type not in (DISABLE, SIZE, NUM, SLAB):
         raise NotImplementedError(f"partition_type {partition_type}")
 
@@ -670,7 +720,7 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     failures = []
     writer = _WriteBehind()
     try:
-        _case_loop(cases, model, mesh, fused_forward_for, partition_type,
+        _case_loop(cases, models, mesh, fused_forward_for, partition_type,
                    partition_size, partition_stride, batch_size, blend,
                    spatial_shard, shape_bucket, save_image, save_prob,
                    post_processing, output_dir, seg_name, inferers, results,
@@ -688,11 +738,32 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     return results
 
 
-def _case_loop(cases, model, mesh, fused_forward_for, partition_type,
+def _check_ensemble_contract(models, model_dirs):
+    """Ensemble members must agree on everything that shapes preprocessing
+    and the output space — the iso volume is built once and shared, and
+    class probabilities are averaged elementwise."""
+    def contract(m):
+        return (tuple(float(s) for s in m.spacing), m.interpolation,
+                int(m.max_stride), int(m.in_channels), int(m.out_channels),
+                tuple(tuple(sorted(n.to_dict().items())) if n is not None
+                      else None for n in m.normalizers))
+    base = contract(models[0])
+    for m, d in zip(models[1:], model_dirs[1:]):
+        if contract(m) != base:
+            raise ValueError(
+                f"ensemble member {d!r} disagrees with {model_dirs[0]!r} on "
+                "the preprocessing contract (spacing / interpolation / "
+                "max_stride / channel counts / normalizers) — ensembles "
+                "average probabilities on one shared iso grid, so members "
+                "must be folds of the same configuration")
+
+
+def _case_loop(cases, models, mesh, fused_forward_for, partition_type,
                partition_size, partition_stride, batch_size, blend,
                spatial_shard, shape_bucket, save_image, save_prob,
                post_processing, output_dir, seg_name, inferers, results,
                failures, writer, tta=()):
+    model = models[0]
     for image_paths, vols, devs, read_err in _ReadAhead(cases):
         case_name = os.path.basename(image_paths[0])
         for suf in IMAGE_EXTS:
@@ -752,29 +823,33 @@ def _case_loop(cases, model, mesh, fused_forward_for, partition_type,
 
             key = (patch, stride)
             if key not in inferers:
-                apply_fn, apply_vars = fused_forward_for(patch)
-                if spatial_shard:
-                    from segmentation3d_tpu.core.spatial_shard import (
-                        SpatialShardedInferer)
-                    inferers[key] = SpatialShardedInferer(
-                        model.net, slab_z=patch[0],
-                        num_classes=model.out_channels,
-                        mesh=mesh, stride_z=stride[0], blend=blend,
-                        apply_fn=apply_fn, apply_vars=apply_vars)
-                else:
-                    inferers[key] = SlidingWindowInferer(
-                        model.net, patch, model.out_channels,
-                        batch_size=batch_size,
-                        blend=blend if stride != patch else "constant",
-                        apply_fn=apply_fn, mesh=mesh, apply_vars=apply_vars,
-                        tta=tta)
-            inferer = inferers[key]
+                members = []
+                for mi, m in enumerate(models):
+                    apply_fn, apply_vars = fused_forward_for(patch, mi)
+                    if spatial_shard:  # single-model only (checked upstream)
+                        from segmentation3d_tpu.core.spatial_shard import (
+                            SpatialShardedInferer)
+                        members.append(SpatialShardedInferer(
+                            m.net, slab_z=patch[0],
+                            num_classes=m.out_channels,
+                            mesh=mesh, stride_z=stride[0], blend=blend,
+                            apply_fn=apply_fn, apply_vars=apply_vars))
+                    else:
+                        members.append(SlidingWindowInferer(
+                            m.net, patch, m.out_channels,
+                            batch_size=batch_size,
+                            blend=blend if stride != patch else "constant",
+                            apply_fn=apply_fn, mesh=mesh,
+                            apply_vars=apply_vars, tta=tta))
+                inferers[key] = members
+            infs = inferers[key]
 
             mask_vol, prob_out, native, secs = segmentation_one_case(
-                model, image_paths, inferer, stride_zyx=stride,
+                model, image_paths, infs[0], stride_zyx=stride,
                 save_prob=save_prob, post_processing=post_processing,
                 shape_bucket=shape_bucket, vols=vols, dev_data=devs,
-                defer_host=True)
+                defer_host=True,
+                extra_members=list(zip(models[1:], infs[1:])))
 
             case_dir = os.path.join(output_dir, case_name)
             jobs = [(mask_vol, os.path.join(case_dir, seg_name))]

@@ -455,14 +455,14 @@ def test_segmentation_session_reuse(trained_model):
                     seg_name="seg.nii.gz", batch_size=1)
     assert len(si._SESSIONS) == 1
     (key1, sess1), = si._SESSIONS.items()
-    model1 = sess1["model"]
+    model1 = sess1["models"][0]
     inferers1 = dict(sess1["inferers"])
     assert inferers1  # the first call built at least one inferer
 
     si.segmentation(img_path, save_dir, str(root / "sess2"),
                     seg_name="seg.nii.gz", batch_size=1)
     assert len(si._SESSIONS) == 1  # same key -> same session
-    assert si._SESSIONS[key1]["model"] is model1
+    assert si._SESSIONS[key1]["models"][0] is model1
     for k, v in inferers1.items():  # inferers reused, not rebuilt
         assert si._SESSIONS[key1]["inferers"][k] is v
 
@@ -477,8 +477,8 @@ def test_segmentation_session_reuse(trained_model):
     os.utime(p, (os.path.getatime(p), os.path.getmtime(p) + 10))
     si.segmentation(img_path, save_dir, str(root / "sess4"),
                     seg_name="seg.nii.gz", batch_size=1)
-    fresh = [s for s in si._SESSIONS.values() if s["model"] is not model1
-             and s["model"] is not None]
+    fresh = [s for s in si._SESSIONS.values()
+             if s["models"][0] is not model1]
     assert fresh
     si._SESSIONS.clear()
 

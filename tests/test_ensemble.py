@@ -1,0 +1,110 @@
+"""Ensemble inference: seg_infer -m a -m b averages class probabilities.
+
+Exactness is pinned against the member probability maps (the averaging is
+``mean(softmax_i)`` in iso space before the argmax / resample-back); the
+preprocessing contract check rejects members with different geometry."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from segmentation3d_tpu.io import Volume, read_image, write_image
+from segmentation3d_tpu.models.vnet import SegmentationNet
+from segmentation3d_tpu.ops.geometry import Frame
+from segmentation3d_tpu.utils import model_io
+from segmentation3d_tpu.utils.normalizer import FixedNormalizer
+
+
+def _mk_model(path, seed, spacing=(1.0, 1.0, 1.0), base_channels=2):
+    net = SegmentationNet(in_channels=1, out_channels=2,
+                          base_channels=base_channels)
+    variables = jax.device_get(net.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, 16, 16, 16, 1)),
+        train=False))
+    model_io.save_checkpoint(
+        str(path), 0, 0, variables, net_name="vnet", max_stride=16,
+        in_channels=1, out_channels=2, spacing=list(spacing),
+        interpolation="LINEAR",
+        crop_normalizers=[FixedNormalizer(mean=0.0, stddev=1.0)],
+        extra={"net_kwargs": {"base_channels": base_channels}})
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ens")
+    a = _mk_model(root / "ma", seed=0)
+    b = _mk_model(root / "mb", seed=1)
+    rng = np.random.default_rng(7)
+    img = rng.normal(0.0, 1.0, (32, 32, 32)).astype(np.float32)
+    case = str(root / "case.nii.gz")
+    write_image(Volume(img, Frame.identity()), case)
+    return root, a, b, case
+
+
+def _run(case, model_dir, out, **kw):
+    from segmentation3d_tpu.core.seg_infer import segmentation
+    kw.setdefault("seg_name", "seg.nii.gz")
+    kw.setdefault("batch_size", 1)
+    kw.setdefault("shape_bucket", 16)
+    res = segmentation(case, model_dir, str(out), **kw)
+    assert res, "segmentation produced no results"
+    return str(out / "case")
+
+
+def test_ensemble_is_mean_of_members(setup):
+    root, a, b, case = setup
+    da = _run(case, a, root / "oa", save_prob=True)
+    db = _run(case, b, root / "ob", save_prob=True)
+    de = _run(case, [a, b], root / "oe", save_prob=True)
+
+    pa = np.stack([read_image(os.path.join(da, f"prob_{c}.mha")).data
+                   for c in range(2)], -1)
+    pb = np.stack([read_image(os.path.join(db, f"prob_{c}.mha")).data
+                   for c in range(2)], -1)
+    pe = np.stack([read_image(os.path.join(de, f"prob_{c}.mha")).data
+                   for c in range(2)], -1)
+    # mean of softmax probs (f16 on-disk rounding is the only slack)
+    np.testing.assert_allclose(pe, (pa + pb) / 2, atol=2e-3)
+
+    # mask is the argmax of the averaged probabilities
+    mask = read_image(os.path.join(de, "seg.nii.gz")).data
+    expect = np.argmax((pa + pb) / 2, axis=-1)
+    margin = np.abs(pe[..., 0] - pe[..., 1]) > 4e-3  # away from f16 ties
+    assert (mask == expect)[margin].all()
+
+    # ensemble of one == the single model
+    d1 = _run(case, [a], root / "o1")
+    m1 = read_image(os.path.join(d1, "seg.nii.gz")).data
+    ma = read_image(os.path.join(da, "seg.nii.gz")).data
+    np.testing.assert_array_equal(m1, ma)
+
+
+def test_contract_mismatch_raises(setup, tmp_path):
+    root, a, _, case = setup
+    bad = _mk_model(tmp_path / "mc", seed=2, spacing=(2.0, 2.0, 2.0))
+    from segmentation3d_tpu.core.seg_infer import segmentation
+    with pytest.raises(ValueError, match="preprocessing contract"):
+        segmentation(case, [a, bad], str(tmp_path / "o"),
+                     seg_name="seg.nii.gz")
+    with pytest.raises(ValueError, match="at least one"):
+        segmentation(case, [], str(tmp_path / "o"), seg_name="seg.nii.gz")
+
+
+def test_ensemble_cli(setup):
+    """The seg_infer CLI accepts repeated -m and produces the ensemble mask."""
+    root, a, b, case = setup
+    from segmentation3d_tpu.cli.seg_infer import main
+    out = root / "ocli"
+    main(["-i", case, "-m", a, "-m", b, "-o", str(out),
+          "-n", "seg.nii.gz", "--batch_size", "1"])
+    got = read_image(str(out / "case" / "seg.nii.gz")).data
+    # reference run through the library at the CLI's default shape_bucket
+    # (bucket padding changes boundary context, so compare like with like)
+    from segmentation3d_tpu.core.seg_infer import segmentation
+    segmentation(case, [a, b], str(root / "oe64"), seg_name="seg.nii.gz",
+                 batch_size=1)
+    ens = read_image(str(root / "oe64" / "case" / "seg.nii.gz")).data
+    np.testing.assert_array_equal(got, ens)
