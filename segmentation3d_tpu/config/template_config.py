@@ -53,6 +53,15 @@ __C.train.num_threads = 2                       # prefetch queue depth
 __C.train.lr = 1e-4
 __C.train.betas = (0.9, 0.999)
 __C.train.save_epochs = 100
+# __C.train.keep_checkpoints = 0                # [TPU] N>0 keeps only the
+#                                               # newest N numeric chk dirs
+#                                               # (chk_best never pruned)
+# __C.train.grad_accum_steps = 1                # [TPU] A>1 splits each batch
+#                                               # into A microbatches in one
+#                                               # jitted step: mean-gradient
+#                                               # equivalent at 1/A the
+#                                               # activation memory (BN
+#                                               # normalizes per microbatch)
 
 # ---- debug -----------------------------------------------------------------
 __C.debug = edict()

@@ -582,6 +582,11 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     ``checkpoint``: which checkpoint of ``model_dir`` to run — ``None``/
     ``'latest'`` (reference behavior), ``'best'`` (the best-validation
     checkpoint written by ``cfg.train.save_best``), or an epoch number.
+    Multi-host: under ``jax.process_count() > 1`` (launch with
+    ``jax.distributed.initialize``, same arguments on every host) the case
+    list is round-robin-sliced across processes, each running on its own
+    local chips and writing into the shared ``output_dir`` — linear scaling
+    for batch inference; the return value covers this process's slice.
     ``model_dir`` may be a LIST of model directories (``seg_infer -m a -m
     b``): an ensemble whose class probabilities are averaged on device
     before the argmax. Members must share the preprocessing contract
@@ -590,12 +595,17 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     shared. Beyond the reference; opt-in.
     """
     del gpu_id
+    import jax
     from segmentation3d_tpu.core.infer_engine import tta_axes
     tta = tta_axes(tta)  # normalize early: bad axis names fail every case
     mesh = None
     if num_devices is not None and (num_devices > 1 or num_devices < 0):
         from segmentation3d_tpu.parallel import make_mesh
-        m = make_mesh(num_devices)
+        # multi-host: each process runs an independent engine over its OWN
+        # local chips (cases are process-sliced below) — never a mesh with
+        # non-addressable devices, which whole-volume device_put can't feed
+        local = jax.local_devices() if jax.process_count() > 1 else None
+        m = make_mesh(num_devices, devices=local)
         if m.devices.size > 1:
             mesh = m
     if fused is None:
@@ -710,6 +720,12 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
         raise NotImplementedError(f"partition_type {partition_type}")
 
     cases = find_cases(input_path)
+    # multi-host batch inference is embarrassingly parallel: each process
+    # takes a deterministic round-robin slice of the case list, runs it on
+    # its local chips, and writes into the (shared) output_dir. Launch one
+    # process per host via jax.distributed.initialize, same input/output
+    # args everywhere; the returned results cover THIS process's slice.
+    cases = _process_slice(cases)
     os.makedirs(output_dir, exist_ok=True)
     if not cases:
         print(f"warning: no cases found at {input_path}")
@@ -736,6 +752,18 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     if failures and not results:
         raise failures[0][1]  # everything failed: not a per-case hiccup
     return results
+
+
+def _process_slice(cases, process_index=None, process_count=None):
+    """Round-robin slice of the case list for this process (multi-host
+    batch inference). Identity when single-process. Round-robin (not
+    contiguous blocks) so sorted-by-size case lists balance across hosts."""
+    import jax
+    pc = jax.process_count() if process_count is None else process_count
+    pi = jax.process_index() if process_index is None else process_index
+    if pc <= 1:
+        return cases
+    return cases[pi::pc]
 
 
 def _check_ensemble_contract(models, model_dirs):

@@ -153,6 +153,60 @@ def make_train_step(net, loss_fn, optimizer, apply_fn=None, packed_loss=None):
     return functools.partial(jax.jit, donate_argnums=(0, 1, 2))(body)
 
 
+def make_accum_train_step(net, loss_fn, optimizer, accum, apply_fn=None,
+                          packed_loss=None):
+    """One optimizer step over ``accum`` sequential microbatches, fused into
+    ONE jitted program (``cfg.train.grad_accum_steps`` — an ADDITIVE option;
+    the reference has no accumulation, SURVEY C10 ≈L140-145).
+
+    The incoming batch ``[B, ...]`` is split into ``accum`` microbatches of
+    ``B // accum`` rows; gradients are summed across them at the OUTER
+    parameters and averaged before a single Adam update — exactly the mean
+    gradient over the full batch, at ``1/accum`` of the activation memory
+    (only one microbatch's forward is live at a time in the scan).
+
+    BatchNorm semantics match torch-style gradient accumulation: each
+    microbatch normalizes by its OWN statistics and the running stats thread
+    sequentially through the scan — i.e. equivalent to ``accum`` small-batch
+    forwards, not to one large-batch forward. The returned loss is the mean
+    of the microbatch losses."""
+    body_apply = apply_fn if apply_fn is not None else net.apply
+    loss_call = packed_loss if packed_loss is not None else loss_fn
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step(params, batch_stats, opt_state, images, segs):
+        b = images.shape[0]
+        assert b % accum == 0, (b, accum)
+        mb = b // accum
+        im = images.reshape((accum, mb) + images.shape[1:])
+        sg = segs.reshape((accum, mb) + segs.shape[1:])
+
+        def loss_of(p, bs, x, y):
+            probs, mutated = body_apply(
+                {"params": p, "batch_stats": bs}, x,
+                train=True, mutable=["batch_stats"])
+            return loss_call(probs, y), mutated["batch_stats"]
+
+        def scan_body(carry, xs):
+            bs, gsum, lsum = carry
+            x, y = xs
+            (loss, nbs), g = jax.value_and_grad(
+                loss_of, has_aux=True)(params, bs, x, y)
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+            return (nbs, gsum, lsum + loss), None
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        (new_stats, gsum, lsum), _ = jax.lax.scan(
+            scan_body, (batch_stats, zeros, jnp.zeros((), jnp.float32)),
+            (im, sg))
+        grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_stats, new_opt, lsum / accum
+
+    return step
+
+
 def make_multi_train_step(net, loss_fn, optimizer, k, apply_fn=None,
                           packed_loss=None):
     """``k`` sequential train steps fused into ONE jitted program
@@ -355,8 +409,28 @@ def train(config_file: str):
         packed_loss = make_packed_loss(loss_fn, None, nc)
         apply_fn = build_packed_train_apply(
             net, packed_probs=packed_loss is not None)
-    train_step = make_train_step(net, loss_fn, optimizer, apply_fn=apply_fn,
-                                 packed_loss=packed_loss)
+    # cfg.train.grad_accum_steps = A > 1 (ADDITIVE): split each batch into A
+    # microbatches inside one jitted step — mean-gradient-equivalent to the
+    # full batch at 1/A the activation memory (for crops too large to fit
+    # batchsize activations in HBM). BN normalizes per microbatch.
+    grad_accum = max(1, int(cfg.train.get("grad_accum_steps", 1)))
+    if grad_accum > 1:
+        if batchsize % grad_accum != 0:
+            raise ValueError(f"batchsize {batchsize} must divide by "
+                             f"grad_accum_steps {grad_accum}")
+        micro = batchsize // grad_accum
+        if n_dev > 1 and micro % n_dev != 0:
+            raise ValueError(
+                f"microbatch {micro} (batchsize {batchsize} / "
+                f"grad_accum_steps {grad_accum}) must divide over {n_dev} "
+                "devices")
+        train_step = make_accum_train_step(
+            net, loss_fn, optimizer, grad_accum, apply_fn=apply_fn,
+            packed_loss=packed_loss)
+    else:
+        train_step = make_train_step(net, loss_fn, optimizer,
+                                     apply_fn=apply_fn,
+                                     packed_loss=packed_loss)
     # cfg.tpu.steps_per_dispatch = K > 1 fuses K train steps into one
     # program (make_multi_train_step): one ~20 ms relay dispatch per K
     # steps instead of per step. Semantics identical (scan carry); groups
@@ -364,6 +438,9 @@ def train(config_file: str):
     # input dumps force K=1 (they need per-batch host data).
     steps_per_dispatch = max(
         1, int(cfg.get("tpu", {}).get("steps_per_dispatch", 1)))
+    if steps_per_dispatch > 1 and grad_accum > 1:
+        raise ValueError("cfg.tpu.steps_per_dispatch > 1 and "
+                         "cfg.train.grad_accum_steps > 1 cannot be combined")
     if cfg.debug.get("save_inputs", False):
         steps_per_dispatch = 1
     multi_step = None
@@ -400,6 +477,12 @@ def train(config_file: str):
                 extra={"net_kwargs": dict(net_kwargs)} if net_kwargs else None,
             )
             logger.info(f"saved checkpoint chk_{epoch_idx}")
+            # cfg.train.keep_checkpoints = N (ADDITIVE; default keep all,
+            # the reference behavior): retain only the newest N numeric
+            # checkpoints; chk_best is never pruned
+            for d in model_io.prune_checkpoints(
+                    save_dir, int(cfg.train.get("keep_checkpoints", 0))):
+                logger.info(f"pruned old checkpoint {os.path.basename(d)}")
         barrier(f"chk_{epoch_idx}")
 
     # optional in-training validation (ADDITIVE — the reference logs train
@@ -609,7 +692,9 @@ def train(config_file: str):
     if profile_dir:
         jax.profiler.stop_trace()
     if primary:
-        from segmentation3d_tpu.utils.plotting import plot_loss_curve
+        from segmentation3d_tpu.utils.plotting import (plot_loss_curve,
+                                                       plot_val_curve)
         plot_loss_curve(loss_csv)
+        plot_val_curve(val_csv)
     logger.info("training finished")
     return save_dir

@@ -74,7 +74,9 @@ def read_mha(path):
 
 
 def write_mha(path, data, frame: Frame, compress: bool | None = None):
-    """Write a 3D ``[z,y,x]`` array + Frame as inline .mha."""
+    """Write a 3D ``[z,y,x]`` array + Frame as MetaImage: inline for .mha,
+    header + detached ``<base>.raw``/``.zraw`` for .mhd (the ITK
+    convention — an .mhd header with LOCAL data is not portable)."""
     data = np.asarray(data)
     if data.ndim != 3:
         raise ValueError(f"write_mha expects 3D [z,y,x], got {data.shape}")
@@ -85,6 +87,10 @@ def write_mha(path, data, frame: Frame, compress: bool | None = None):
     if compress is None:
         compress = False
     nz, ny, nx = data.shape
+    detached = None
+    if str(path).lower().endswith(".mhd"):
+        base = os.path.splitext(os.path.basename(path))[0]
+        detached = base + (".zraw" if compress else ".raw")
     tm = frame.direction.T.reshape(-1)  # rows = axis direction vectors
     lines = [
         "ObjectType = Image",
@@ -99,7 +105,7 @@ def write_mha(path, data, frame: Frame, compress: bool | None = None):
         "ElementSpacing = " + " ".join(f"{v:.10g}" for v in frame.spacing),
         f"DimSize = {nx} {ny} {nz}",
         f"ElementType = {_NP_TO_MET[np.dtype(data.dtype)]}",
-        "ElementDataFile = LOCAL",
+        f"ElementDataFile = {detached or 'LOCAL'}",
     ]
     # memoryview: no tobytes() copy (a full-volume pass on a 1-core host)
     payload = memoryview(np.ascontiguousarray(data)).cast("B")
@@ -109,4 +115,9 @@ def write_mha(path, data, frame: Frame, compress: bool | None = None):
         # gzip-level choice in io/nifti.py
     with open(path, "wb") as f:
         f.write(("\n".join(lines) + "\n").encode("latin-1"))
-        f.write(payload)
+        if detached is None:
+            f.write(payload)
+    if detached is not None:
+        with open(os.path.join(os.path.dirname(os.path.abspath(path)),
+                               detached), "wb") as f:
+            f.write(payload)

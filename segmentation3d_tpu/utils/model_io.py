@@ -176,7 +176,11 @@ def save_checkpoint(save_dir: str, epoch_idx: int, batch_idx: int, variables,
     }
     if extra:
         payload.update(extra)
+    # Writes are ATOMIC (tmp file + os.replace): the latest-checkpoint scan
+    # accepts any chk_<n> dir containing a params.pth, so a crash mid-save
+    # must never leave a truncated file under that name.
     params_path = os.path.join(chk, "params.pth")
+    tmp_path = params_path + ".tmp"
     try:
         # torch.save with REAL torch tensors in state_dict: the reference
         # toolkit's `net.load_state_dict(torch.load(...)['state_dict'])`
@@ -186,16 +190,38 @@ def save_checkpoint(save_dir: str, epoch_idx: int, batch_idx: int, variables,
         payload["state_dict"] = {
             k: torch.as_tensor(np.ascontiguousarray(v))
             for k, v in state_dict.items()}
-        torch.save(payload, params_path)
+        torch.save(payload, tmp_path)
     except ImportError:
-        with open(params_path, "wb") as f:
+        with open(tmp_path, "wb") as f:
             pickle.dump(payload, f, protocol=4)
+    os.replace(tmp_path, params_path)
     if opt_state is not None:
-        with open(os.path.join(chk, "opt_state.pkl"), "wb") as f:
+        opt_path = os.path.join(chk, "opt_state.pkl")
+        with open(opt_path + ".tmp", "wb") as f:
             pickle.dump(opt_state, f, protocol=4)
+        os.replace(opt_path + ".tmp", opt_path)
     if config_file and os.path.isfile(config_file):
         shutil.copy(config_file, os.path.join(chk, os.path.basename(config_file)))
     return chk
+
+
+def prune_checkpoints(save_dir: str, keep: int) -> list[str]:
+    """Delete all but the newest ``keep`` numeric ``chk_<n>`` directories
+    (``cfg.train.keep_checkpoints`` — ADDITIVE; the reference keeps every
+    checkpoint, which stays the default). Non-numeric names (``chk_best``)
+    are never touched. Returns the removed directories."""
+    if not keep or keep <= 0:
+        return []
+    candidates = []
+    for d in glob.glob(os.path.join(save_dir, "checkpoints", "chk_*")):
+        m = re.match(r".*chk_(\d+)$", d)
+        if m:
+            candidates.append((int(m.group(1)), d))
+    candidates.sort()
+    doomed = [d for _, d in candidates[:-keep]]
+    for d in doomed:
+        shutil.rmtree(d)
+    return doomed
 
 
 def load_checkpoint_payload(chk_dir: str) -> dict:

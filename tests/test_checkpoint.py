@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -100,3 +102,58 @@ def test_torch_saved_checkpoint_loads(tmp_path, net_and_vars):
     np.testing.assert_allclose(
         np.asarray(net.apply(loaded, x, train=False)),
         np.asarray(net.apply(variables, x, train=False)), atol=1e-6)
+
+
+def test_save_is_atomic_under_write_failure(tmp_path, net_and_vars, monkeypatch):
+    """A crash mid-save must never leave a truncated params.pth: the write
+    goes to a .tmp sibling and is os.replace'd only when complete, so an
+    existing checkpoint under the same name survives the failed overwrite."""
+    import torch
+    _, variables, _ = net_and_vars
+    save_dir = str(tmp_path / "run_atomic")
+    norms = [FixedNormalizer(0, 1), AdaptiveNormalizer()]
+    chk = model_io.save_checkpoint(save_dir, 3, 30, variables, "vnet", 16,
+                                   2, 3, [1.0, 1.0, 1.0], "LINEAR", norms)
+    before = open(f"{chk}/params.pth", "rb").read()
+
+    real_save = torch.save
+
+    def dying_save(obj, path, *a, **kw):
+        real_save(obj, path, *a, **kw)  # the tmp file IS written...
+        with open(path, "r+b") as f:    # ...then truncated mid-flush
+            f.truncate(10)
+        raise OSError("simulated crash during checkpoint write")
+
+    monkeypatch.setattr(torch, "save", dying_save)
+    with pytest.raises(OSError, match="simulated crash"):
+        model_io.save_checkpoint(save_dir, 3, 31, variables, "vnet", 16,
+                                 2, 3, [1.0, 1.0, 1.0], "LINEAR", norms)
+    monkeypatch.undo()
+
+    # the visible checkpoint is byte-identical to the pre-crash save and
+    # still the latest-scan result; only the .tmp residue differs
+    assert open(f"{chk}/params.pth", "rb").read() == before
+    assert model_io.latest_checkpoint(save_dir) == chk
+    loaded, payload = model_io.load_checkpoint(chk)
+    assert payload["batch_idx"] == 30
+
+
+def test_prune_checkpoints_keeps_newest_and_best(tmp_path, net_and_vars):
+    _, variables, _ = net_and_vars
+    save_dir = str(tmp_path / "run_prune")
+    norms = [FixedNormalizer(0, 1), AdaptiveNormalizer()]
+    for e in (0, 5, 10, 15):
+        model_io.save_checkpoint(save_dir, e, e, variables, "vnet", 16,
+                                 2, 3, [1.0, 1.0, 1.0], "LINEAR", norms)
+    model_io.save_checkpoint(save_dir, 10, 10, variables, "vnet", 16,
+                             2, 3, [1.0, 1.0, 1.0], "LINEAR", norms,
+                             dir_name="chk_best")
+
+    assert model_io.prune_checkpoints(save_dir, 0) == []  # default: keep all
+    removed = model_io.prune_checkpoints(save_dir, 2)
+    assert sorted(os.path.basename(d) for d in removed) == ["chk_0", "chk_5"]
+    left = sorted(os.listdir(os.path.join(save_dir, "checkpoints")))
+    assert left == ["chk_10", "chk_15", "chk_best"]
+    assert model_io.latest_checkpoint(save_dir).endswith("chk_15")
+    # keep larger than what exists: no-op
+    assert model_io.prune_checkpoints(save_dir, 10) == []

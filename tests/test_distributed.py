@@ -195,3 +195,18 @@ def test_two_process_training_matches_single(tmp_path):
         assert a.split(",")[:2] == b.split(",")[:2]
         np.testing.assert_allclose(float(a.split(",")[2]),
                                    float(b.split(",")[2]), atol=1e-3)
+
+
+def test_infer_process_slice_round_robin():
+    """Multi-host batch inference splits the case list round-robin (balanced
+    even for sorted-by-size lists) with no case dropped or duplicated."""
+    from segmentation3d_tpu.core.seg_infer import _process_slice
+    cases = [f"c{i}" for i in range(7)]
+    assert _process_slice(cases) == cases  # single-process identity
+    s0 = _process_slice(cases, 0, 2)
+    s1 = _process_slice(cases, 1, 2)
+    assert s0 == ["c0", "c2", "c4", "c6"] and s1 == ["c1", "c3", "c5"]
+    assert sorted(s0 + s1) == cases
+    parts = [_process_slice(cases, i, 3) for i in range(3)]
+    assert sorted(sum(parts, [])) == cases
+    assert max(len(p) for p in parts) - min(len(p) for p in parts) <= 1

@@ -306,3 +306,23 @@ def test_img_gz_named_explicitly_wins(tmp_path):
     np.testing.assert_array_equal(v.data, good)
     v2 = _ri(tmp_path / "x.img")          # the named .img = stale data
     np.testing.assert_array_equal(v2.data, stale)
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_mhd_writes_detached_raw(tmp_path, compress):
+    """.mhd output follows the ITK convention: a text header referencing a
+    detached <base>.raw/.zraw data file (never inline LOCAL data), and the
+    pair reads back identically."""
+    import os
+    from segmentation3d_tpu.io.mha import write_mha, read_mha
+    v = _vol(np.int16)
+    p = tmp_path / "vol.mhd"
+    write_mha(p, v.data, v.frame, compress=compress)
+    sidecar = "vol.zraw" if compress else "vol.raw"
+    header = p.read_bytes()
+    assert f"ElementDataFile = {sidecar}".encode() in header
+    assert b"LOCAL" not in header
+    assert os.path.isfile(tmp_path / sidecar)
+    data, frame = read_mha(p)
+    np.testing.assert_array_equal(data, v.data)
+    assert v.frame.isclose(frame)

@@ -77,3 +77,16 @@ def test_per_class_dice_values(tmp_path):
     expected_c2 = 2 * p2 / (g2 + p2)
     np.testing.assert_allclose(per_class[1], expected_c2, atol=1e-6)
     np.testing.assert_allclose(mean, (1.0 + expected_c2) / 2, atol=1e-6)
+
+
+def test_plot_val_curve(tmp_path):
+    from segmentation3d_tpu.utils.plotting import plot_val_curve
+    # absent / empty csv: no-op
+    assert plot_val_curve(str(tmp_path / "missing.csv")) is None
+    csv = tmp_path / "val_dice.csv"
+    csv.write_text("epoch,val_dice,dice_c1,dice_c2\n"
+                   "2,0.5,0.4,0.6\n4,0.8,0.75,0.85\n")
+    out = plot_val_curve(str(csv))
+    import os
+    assert out is not None and os.path.isfile(out) \
+        and out.endswith("val_dice.png")
