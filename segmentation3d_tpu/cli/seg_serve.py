@@ -68,6 +68,12 @@ def main(argv=None):
                         help="serve the coarse-to-fine pipeline: -m is the "
                              "coarse model, this is the fine model directory")
     parser.add_argument("--roi_margin", type=float, default=16.0)
+    parser.add_argument("--idle_timeout", type=float, default=30.0,
+                        help="drop a connection that sends no complete "
+                             "request within this many seconds (a wedged "
+                             "client must not block the serial queue)")
+    parser.add_argument("--max_request_bytes", type=int, default=1 << 20,
+                        help="reject request lines longer than this")
     args = parser.parse_args(argv)
 
     if (args.socket is None) == (args.port is None):
@@ -134,7 +140,9 @@ def main(argv=None):
     server = SegmentationServer(run_fn, ",".join(args.model),
                                 seg_name=args.seg_name)
     serve_forever(server, socket_path=args.socket,
-                  host=args.host, port=args.port)
+                  host=args.host, port=args.port,
+                  idle_timeout=args.idle_timeout,
+                  max_request_bytes=args.max_request_bytes)
 
 
 if __name__ == "__main__":

@@ -725,10 +725,19 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     # its local chips, and writes into the (shared) output_dir. Launch one
     # process per host via jax.distributed.initialize, same input/output
     # args everywhere; the returned results cover THIS process's slice.
+    n_global = len(cases)
     cases = _process_slice(cases)
     os.makedirs(output_dir, exist_ok=True)
     if not cases:
-        print(f"warning: no cases found at {input_path}")
+        if n_global:
+            # more hosts than cases: the global list was non-empty, this
+            # process just drew an empty round-robin slice — not a data error
+            import jax as _j
+            print(f"note: empty case slice on process "
+                  f"{_j.process_index()}/{_j.process_count()} "
+                  f"({n_global} case(s) assigned to other processes)")
+        else:
+            print(f"warning: no cases found at {input_path}")
         return []
 
     inferers = sess["inferers"]

@@ -43,7 +43,11 @@ def _prepare_save_dir(save_dir: str, resume: bool, logger=None):
     """Reference behavior: a fresh (non-resume) run wipes the save dir."""
     if os.path.isdir(save_dir) and not resume:
         entries = set(os.listdir(save_dir))
-        known = {"checkpoints", "train_log.txt", "train_loss.csv", "debug"}
+        # everything a training run itself writes into save_dir — a fresh
+        # re-run over a COMPLETED run (incl. validation artifacts) must wipe
+        # and restart like the reference, not refuse
+        known = {"checkpoints", "train_log.txt", "train_loss.csv", "debug",
+                 "train_loss.png", "val_dice.csv", "val_dice.png"}
         if entries and not entries <= known:
             raise RuntimeError(
                 f"refusing to wipe {save_dir}: contains non-checkpoint entries "
@@ -154,7 +158,7 @@ def make_train_step(net, loss_fn, optimizer, apply_fn=None, packed_loss=None):
 
 
 def make_accum_train_step(net, loss_fn, optimizer, accum, apply_fn=None,
-                          packed_loss=None):
+                          packed_loss=None, mesh=None):
     """One optimizer step over ``accum`` sequential microbatches, fused into
     ONE jitted program (``cfg.train.grad_accum_steps`` — an ADDITIVE option;
     the reference has no accumulation, SURVEY C10 ≈L140-145).
@@ -180,6 +184,15 @@ def make_accum_train_step(net, loss_fn, optimizer, accum, apply_fn=None,
         mb = b // accum
         im = images.reshape((accum, mb) + images.shape[1:])
         sg = segs.reshape((accum, mb) + segs.shape[1:])
+        if mesh is not None and mesh.devices.size > 1:
+            # pin the microbatch axis (dim 1) to the data mesh: without the
+            # constraint GSPMD may propagate the incoming batch's 'data'
+            # sharding onto the scanned accum axis (dim 0), inserting
+            # resharding collectives per microbatch
+            from jax.sharding import NamedSharding, PartitionSpec
+            s = NamedSharding(mesh, PartitionSpec(None, "data"))
+            im = jax.lax.with_sharding_constraint(im, s)
+            sg = jax.lax.with_sharding_constraint(sg, s)
 
         def loss_of(p, bs, x, y):
             probs, mutated = body_apply(
@@ -369,8 +382,21 @@ def train(config_file: str):
                 staircase=True)
         else:
             raise ValueError(f"unknown lr_scheduler {kind}")
-    optimizer = optax.adam(lr,
-                           b1=float(cfg.train.betas[0]), b2=float(cfg.train.betas[1]))
+    # cfg.train.optimizer (ADDITIVE; default 'adam' = the reference's only
+    # optimizer): 'sgd' exists for momentum-free runs and for exactness
+    # testing — an SGD step's parameter delta IS the mean gradient, so
+    # cross-topology equivalence can be asserted at float precision.
+    opt_name = str(cfg.train.get("optimizer", "adam")).lower()
+    if opt_name == "adam":
+        optimizer = optax.adam(lr, b1=float(cfg.train.betas[0]),
+                               b2=float(cfg.train.betas[1]))
+    elif opt_name == "sgd":
+        optimizer = optax.sgd(lr,
+                              momentum=float(cfg.train.get("momentum", 0))
+                              or None)
+    else:
+        raise ValueError(f"unknown cfg.train.optimizer {opt_name!r} "
+                         "(supported: 'adam', 'sgd')")
     opt_state = optimizer.init(variables["params"])
 
     start_batch_idx = 0
@@ -426,7 +452,7 @@ def train(config_file: str):
                 "devices")
         train_step = make_accum_train_step(
             net, loss_fn, optimizer, grad_accum, apply_fn=apply_fn,
-            packed_loss=packed_loss)
+            packed_loss=packed_loss, mesh=mesh)
     else:
         train_step = make_train_step(net, loss_fn, optimizer,
                                      apply_fn=apply_fn,
@@ -438,11 +464,13 @@ def train(config_file: str):
     # input dumps force K=1 (they need per-batch host data).
     steps_per_dispatch = max(
         1, int(cfg.get("tpu", {}).get("steps_per_dispatch", 1)))
+    if cfg.debug.get("save_inputs", False):
+        # forced BEFORE the clash check: save_inputs debugging on top of an
+        # existing steps_per_dispatch setting runs at K=1 rather than erroring
+        steps_per_dispatch = 1
     if steps_per_dispatch > 1 and grad_accum > 1:
         raise ValueError("cfg.tpu.steps_per_dispatch > 1 and "
                          "cfg.train.grad_accum_steps > 1 cannot be combined")
-    if cfg.debug.get("save_inputs", False):
-        steps_per_dispatch = 1
     multi_step = None
     if steps_per_dispatch > 1:
         multi_step = make_multi_train_step(

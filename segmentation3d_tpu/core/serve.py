@@ -92,9 +92,29 @@ class SegmentationServer:
             return {"ok": False, "error": f"{type(e).__name__}: {e}"}, True
 
 
+def _probe_alive(socket_path: str) -> bool:
+    """True if a server is currently accepting on ``socket_path``."""
+    c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    c.settimeout(1.0)
+    try:
+        c.connect(socket_path)
+        return True
+    except OSError:
+        return False
+    finally:
+        c.close()
+
+
 def _bind(socket_path: str | None, host: str | None, port: int | None):
     if socket_path is not None:
-        if os.path.exists(socket_path):  # stale socket from a dead server
+        if os.path.exists(socket_path):
+            # only remove a STALE socket (dead server); a live server must
+            # not have its address silently stolen by a second instance
+            if _probe_alive(socket_path):
+                raise OSError(
+                    f"a seg_serve server is already listening on "
+                    f"{socket_path}; shut it down first or choose another "
+                    "--socket path")
             os.unlink(socket_path)
         srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         srv.bind(socket_path)
@@ -107,9 +127,17 @@ def _bind(socket_path: str | None, host: str | None, port: int | None):
 
 def serve_forever(server: SegmentationServer, socket_path: str | None = None,
                   host: str | None = None, port: int | None = None,
-                  ready=None, log=print):
+                  ready=None, log=print, idle_timeout: float = 30.0,
+                  max_request_bytes: int = 1 << 20):
     """Accept-loop until a shutdown request. ``ready(address)`` is called
-    once listening (tests use it to learn the ephemeral TCP port)."""
+    once listening (tests use it to learn the ephemeral TCP port).
+
+    Connections are handled serially (the device is a serial resource), so a
+    single wedged client must not block the queue: a connection that sends no
+    complete request line within ``idle_timeout`` seconds is dropped, and a
+    request line longer than ``max_request_bytes`` is rejected with an error
+    response and the connection closed (a request is a file path + options —
+    anything near a megabyte is a protocol violation, not a workload)."""
     srv, address = _bind(socket_path, host, port)
     srv.listen(4)
     if log:
@@ -121,10 +149,30 @@ def serve_forever(server: SegmentationServer, socket_path: str | None = None,
         while running:
             conn, _ = srv.accept()
             with conn:
-                rf = conn.makefile("r", encoding="utf-8")
+                conn.settimeout(idle_timeout)
+                rf = conn.makefile("rb")
                 wf = conn.makefile("w", encoding="utf-8")
-                for line in rf:
-                    line = line.strip()
+                while True:
+                    try:
+                        raw = rf.readline(max_request_bytes + 1)
+                    except (TimeoutError, socket.timeout, OSError):
+                        if log:
+                            log("seg_serve: dropping idle connection "
+                                f"(no request within {idle_timeout}s)")
+                        break
+                    if not raw:
+                        break  # client closed
+                    if len(raw) > max_request_bytes:
+                        resp, keep = {"ok": False, "error":
+                                      f"request exceeds {max_request_bytes} "
+                                      "bytes"}, True
+                        try:
+                            wf.write(json.dumps(resp) + "\n")
+                            wf.flush()
+                        except OSError:
+                            pass
+                        break  # the rest of the oversized line is unread: drop
+                    line = raw.decode("utf-8", errors="replace").strip()
                     if not line:
                         continue
                     try:
@@ -134,8 +182,11 @@ def serve_forever(server: SegmentationServer, socket_path: str | None = None,
                                       "error": f"bad JSON: {e}"}, True
                     else:
                         resp, keep = server.handle(req)
-                    wf.write(json.dumps(resp) + "\n")
-                    wf.flush()
+                    try:
+                        wf.write(json.dumps(resp) + "\n")
+                        wf.flush()
+                    except OSError:
+                        break  # client went away mid-reply; keep serving
                     if not keep:
                         running = False
                         break

@@ -215,7 +215,10 @@ def prune_checkpoints(save_dir: str, keep: int) -> list[str]:
     candidates = []
     for d in glob.glob(os.path.join(save_dir, "checkpoints", "chk_*")):
         m = re.match(r".*chk_(\d+)$", d)
-        if m:
+        # only LOADABLE checkpoints occupy keep slots (same params.pth
+        # filter as latest_checkpoint): crash residue like a lone
+        # params.pth.tmp must not displace an older but valid checkpoint
+        if m and os.path.isfile(os.path.join(d, "params.pth")):
             candidates.append((int(m.group(1)), d))
     candidates.sort()
     doomed = [d for _, d in candidates[:-keep]]

@@ -157,3 +157,27 @@ def test_prune_checkpoints_keeps_newest_and_best(tmp_path, net_and_vars):
     assert model_io.latest_checkpoint(save_dir).endswith("chk_15")
     # keep larger than what exists: no-op
     assert model_io.prune_checkpoints(save_dir, 10) == []
+
+
+def test_prune_ignores_crash_residue(tmp_path, net_and_vars):
+    """A chk_<n> dir without params.pth (crash residue, e.g. a lone
+    params.pth.tmp) must not occupy a keep slot and displace an older but
+    LOADABLE checkpoint (round-3 advisor finding)."""
+    _, variables, _ = net_and_vars
+    save_dir = str(tmp_path / "run_residue")
+    norms = [FixedNormalizer(0, 1), AdaptiveNormalizer()]
+    for e in (0, 5, 10):
+        model_io.save_checkpoint(save_dir, e, e, variables, "vnet", 16,
+                                 2, 3, [1.0, 1.0, 1.0], "LINEAR", norms)
+    residue = os.path.join(save_dir, "checkpoints", "chk_20")
+    os.makedirs(residue)
+    with open(os.path.join(residue, "params.pth.tmp"), "wb") as f:
+        f.write(b"truncated")
+    removed = model_io.prune_checkpoints(save_dir, 2)
+    # keep=2 counts only loadable checkpoints: chk_5 + chk_10 survive,
+    # chk_0 is pruned, the residue is not a candidate (neither kept nor
+    # deleted — it is not a checkpoint)
+    assert sorted(os.path.basename(d) for d in removed) == ["chk_0"]
+    left = sorted(os.listdir(os.path.join(save_dir, "checkpoints")))
+    assert left == ["chk_10", "chk_20", "chk_5"]
+    assert model_io.latest_checkpoint(save_dir).endswith("chk_10")

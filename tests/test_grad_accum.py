@@ -142,3 +142,35 @@ def test_grad_accum_rejects_bad_combinations(tmp_path):
         train(cfg_with("__C.train.grad_accum_steps = 2\n"
                        "__C.tpu = edict()\n"
                        "__C.tpu.steps_per_dispatch = 2\n"))
+
+
+def test_accum_step_sharded_matches_single_device():
+    """The accum step on an 8-device data mesh == single-device accum step
+    (round-3 advisor: the reshape to [accum, mb, ...] carries an explicit
+    sharding constraint pinning 'data' to the microbatch axis — without it
+    GSPMD may reshard onto the scanned accum axis)."""
+    from segmentation3d_tpu.parallel import make_mesh, shard_batch, replicate
+    accum = 2
+    net, variables, images, segs = _setup(batch=8)
+    loss_fn = MultiDiceLoss(num_class=2)
+    opt = optax.sgd(1e-2)
+
+    def run(mesh_size):
+        mesh = make_mesh(mesh_size)
+        params = replicate(jax.tree_util.tree_map(jnp.copy,
+                                                  variables["params"]), mesh)
+        stats = replicate(jax.tree_util.tree_map(jnp.copy,
+                                                 variables["batch_stats"]), mesh)
+        opt_state = replicate(opt.init(params), mesh)
+        step = make_accum_train_step(net, loss_fn, opt, accum,
+                                     mesh=mesh if mesh_size > 1 else None)
+        im, sg = shard_batch((images, segs), mesh)
+        params, stats, opt_state, loss = step(params, stats, opt_state, im, sg)
+        return jax.device_get(params), float(loss)
+
+    p1, l1 = run(1)
+    p4, l4 = run(4)  # microbatch 4 over 4 devices: 1 row per device
+    assert abs(l1 - l4) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

@@ -150,6 +150,83 @@ def test_tcp_mode_and_shutdown():
     assert not t.is_alive()
 
 
+def _echo_server(tmpdir, name="h.sock", **kw):
+    """A live trivial server on a unix socket; returns (sock_path, thread)."""
+    server = SegmentationServer(lambda *a: [], "none")
+    sock = os.path.join(str(tmpdir), name)
+    t = threading.Thread(target=serve_forever, daemon=True,
+                         kwargs=dict(server=server, socket_path=sock,
+                                     log=None, **kw))
+    t.start()
+    for _ in range(200):
+        if os.path.exists(sock):
+            break
+        t.join(0.05)
+    assert os.path.exists(sock)
+    return sock, t
+
+
+def test_idle_client_dropped_not_wedged(tmp_path):
+    """A client that connects and sends nothing is dropped after
+    idle_timeout; other clients keep being served (the wedged-client
+    scenario — connections are handled serially)."""
+    sock, t = _echo_server(tmp_path, idle_timeout=0.5)
+    try:
+        wedge = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        wedge.connect(sock)  # sends nothing
+        try:
+            # the next client must get through once the wedge is dropped
+            r = request(sock, {"cmd": "ping"}, timeout=10)
+            assert r["ok"]
+        finally:
+            wedge.close()
+    finally:
+        request(sock, {"cmd": "shutdown"}, timeout=10)
+        t.join(10)
+
+
+def test_oversized_request_rejected(tmp_path):
+    """A request line above max_request_bytes answers an error and drops the
+    connection instead of buffering it."""
+    sock, t = _echo_server(tmp_path, max_request_bytes=1024)
+    try:
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        with c:
+            c.settimeout(10)
+            c.connect(sock)
+            c.sendall(b'{"input": "' + b"x" * 4096 + b'"}\n')
+            line = c.makefile("r").readline()
+        r = json.loads(line)
+        assert not r["ok"] and "exceeds" in r["error"]
+        assert request(sock, {"cmd": "ping"}, timeout=10)["ok"]  # still alive
+    finally:
+        request(sock, {"cmd": "shutdown"}, timeout=10)
+        t.join(10)
+
+
+def test_live_socket_not_stolen(tmp_path):
+    """A second server refuses to bind over a LIVE server's unix socket; a
+    STALE socket file (dead server) is cleaned up and reused."""
+    from segmentation3d_tpu.core.serve import _bind
+    sock, t = _echo_server(tmp_path)
+    try:
+        with pytest.raises(OSError, match="already listening"):
+            _bind(sock, None, None)
+        assert request(sock, {"cmd": "ping"}, timeout=10)["ok"]
+    finally:
+        request(sock, {"cmd": "shutdown"}, timeout=10)
+        t.join(10)
+    # dead server leaves no socket (serve_forever unlinks on exit); simulate
+    # a crash-stale path: bind and abandon without accept loop
+    stale = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    stale_path = os.path.join(str(tmp_path), "stale.sock")
+    stale.bind(stale_path)
+    stale.close()  # closed without listen/accept: connects now fail
+    srv, addr = _bind(stale_path, None, None)
+    srv.close()
+    os.unlink(stale_path)
+
+
 def test_cli_wiring():
     """seg_serve main() builds and serves over a unix socket end-to-end
     (tiny whole-volume run through the real CLI arg surface)."""
