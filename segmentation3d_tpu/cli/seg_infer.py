@@ -81,42 +81,59 @@ def main(argv=None):
                              "resampled volume to flip ('x', 'zy', 'all'); "
                              "probabilities are averaged over every flip "
                              "combination (2^n forwards per patch)")
-    parser.add_argument("--fine_model", default=None,
+    parser.add_argument("--fine_model", default=None, action="append",
                         help="enable coarse-to-fine: -m is the coarse model, "
-                             "this is the fine model directory")
+                             "this is the fine model directory; repeat for a "
+                             "fine-fold ensemble (probability averaging)")
     parser.add_argument("--roi_margin", type=float, default=16.0,
                         help="coarse-to-fine ROI margin in mm")
+    parser.add_argument("--coarse_checkpoint", default=None, metavar="WHICH",
+                        help="coarse-to-fine: which checkpoint of the coarse "
+                             "model ('latest'/'best'/epoch)")
+    parser.add_argument("--fine_checkpoint", default=None, metavar="WHICH",
+                        help="coarse-to-fine: which checkpoint of the fine "
+                             "model(s) ('latest'/'best'/epoch)")
     args = parser.parse_args(argv)
-
-    if args.fine_model:
-        if args.checkpoint:
-            raise SystemExit(
-                "--checkpoint is not supported with --fine_model (ambiguous "
-                "between the coarse and fine models; both use their latest)")
-        if len(args.model) > 1:
-            raise SystemExit(
-                "ensembles (-m repeated) are not supported with --fine_model")
-        from segmentation3d_tpu.core.coarse_to_fine import segmentation_coarse_to_fine
-        segmentation_coarse_to_fine(
-            input_path=args.input, coarse_model_dir=args.model[0],
-            fine_model_dir=args.fine_model, output_dir=args.output,
-            seg_name=args.seg_name,
-            partition_size=args.partition_size or (96, 96, 96),
-            partition_stride=args.partition_stride,
-            batch_size=args.batch_size, margin_mm=args.roi_margin,
-            dtype=jnp.bfloat16 if (args.bf16 or args.int8) else jnp.float32,
-            save_image=args.save_image,
-            quant="int8" if args.int8 else None, act_clip=args.act_clip,
-            calib_image=args.int8_calib.split(",") if args.int8_calib else None,
-            tta=args.tta,
-        )
-        return
 
     post = None
     if args.post == "largest_cc":
         post = {"type": "largest_cc"}
     elif args.post == "remove_small_cc":
         post = {"type": "remove_small_cc", "threshold": args.post_threshold}
+
+    if args.fine_model:
+        if args.checkpoint:
+            raise SystemExit(
+                "--checkpoint is ambiguous with --fine_model; use "
+                "--coarse_checkpoint / --fine_checkpoint")
+        if len(args.model) > 1:
+            raise SystemExit(
+                "coarse ensembles (-m repeated) are not supported with "
+                "--fine_model (the coarse pass only finds the ROI); repeat "
+                "--fine_model for a fine-fold ensemble")
+        if args.spatial_shard:
+            raise SystemExit(
+                "--spatial_shard applies to SLAB partitioning, not the "
+                "coarse-to-fine pipeline")
+        from segmentation3d_tpu.core.coarse_to_fine import segmentation_coarse_to_fine
+        segmentation_coarse_to_fine(
+            input_path=args.input, coarse_model_dir=args.model[0],
+            fine_model_dir=args.fine_model[0] if len(args.fine_model) == 1
+            else args.fine_model, output_dir=args.output,
+            seg_name=args.seg_name,
+            partition_size=args.partition_size or (96, 96, 96),
+            partition_stride=args.partition_stride,
+            batch_size=args.batch_size, margin_mm=args.roi_margin,
+            dtype=jnp.bfloat16 if (args.bf16 or args.int8) else jnp.float32,
+            save_image=args.save_image, save_prob=args.save_prob,
+            post_processing=post, blend=args.blend,
+            num_devices=args.num_devices,
+            quant="int8" if args.int8 else None, act_clip=args.act_clip,
+            calib_image=args.int8_calib.split(",") if args.int8_calib else None,
+            tta=args.tta, coarse_checkpoint=args.coarse_checkpoint,
+            fine_checkpoint=args.fine_checkpoint,
+        )
+        return
 
     segmentation(
         input_path=args.input,

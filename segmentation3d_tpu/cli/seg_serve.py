@@ -83,19 +83,25 @@ def main(argv=None):
     quant = "int8" if args.int8 else None
     calib = args.int8_calib.split(",") if args.int8_calib else None
 
+    post = None
+    if args.post == "largest_cc":
+        post = {"type": "largest_cc"}
+    elif args.post == "remove_small_cc":
+        post = {"type": "remove_small_cc", "threshold": args.post_threshold}
+
     if args.fine_model:
         if args.checkpoint:
-            parser.error("--checkpoint is not supported with --fine_model")
+            parser.error("--checkpoint is ambiguous with --fine_model; use "
+                         "--coarse_checkpoint / --fine_checkpoint (seg_infer "
+                         "flags) via a direct seg_infer run, or serve with "
+                         "the default latest checkpoints")
         if len(args.model) > 1:
-            parser.error("ensembles (-m repeated) are not supported with "
-                         "--fine_model")
+            parser.error("coarse ensembles (-m repeated) are not supported "
+                         "with --fine_model")
         from segmentation3d_tpu.core.coarse_to_fine import (
             segmentation_coarse_to_fine)
 
         def run_fn(input_path, output_dir, seg_name, save_image, save_prob):
-            if save_prob:
-                raise ValueError("save_prob is not supported with the "
-                                 "coarse-to-fine pipeline")
             return segmentation_coarse_to_fine(
                 input_path=input_path, coarse_model_dir=args.model[0],
                 fine_model_dir=args.fine_model, output_dir=output_dir,
@@ -103,15 +109,11 @@ def main(argv=None):
                 partition_size=args.partition_size or (96, 96, 96),
                 partition_stride=args.partition_stride,
                 batch_size=args.batch_size, margin_mm=args.roi_margin,
-                dtype=dtype, save_image=save_image, quant=quant,
+                dtype=dtype, save_image=save_image, save_prob=save_prob,
+                post_processing=post, blend=args.blend,
+                num_devices=args.num_devices, quant=quant,
                 act_clip=args.act_clip, calib_image=calib, tta=args.tta)
     else:
-        post = None
-        if args.post == "largest_cc":
-            post = {"type": "largest_cc"}
-        elif args.post == "remove_small_cc":
-            post = {"type": "remove_small_cc", "threshold": args.post_threshold}
-
         def run_fn(input_path, output_dir, seg_name, save_image, save_prob):
             return segmentation(
                 input_path=input_path,

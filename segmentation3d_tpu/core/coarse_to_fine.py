@@ -16,139 +16,313 @@ first-class pipeline:
 For a whole-body 512^3 CT where the organ ROI is a small fraction of the
 volume this cuts fine-pass compute by the volume ratio — the TPU-native
 answer to driver benchmark config #5.
+
+Round-4: the batch driver shares the flat driver's production host
+machinery (``core.seg_infer``, SURVEY §3.2 hot-spot analysis) instead of
+the eager f32 host path it launched with:
+
+- two-stage read-ahead (decode ∥ bit-packed stored-dtype H2D upload) and
+  two-stage write-behind (deferred packed-mask D2H readback ∥ gzip write);
+- BOTH passes preprocess through the fused ``_prep_modality`` program
+  (unpack + resample + normalize in ONE jit — program count is a
+  first-order cost on the remote-compile relay, CLAUDE.md);
+- the ROI bounding box is reduced ON DEVICE to 7 int32s (``_roi_bounds``)
+  instead of reading the whole coarse mask back over the slow D2H link;
+- the fine mask returns as a bit-packed deferred volume (``_post_mask``),
+  with CC post-processing and ``save_prob`` f16 maps like ``segmentation``;
+- ``num_devices`` shards the fine pass's patch batches over a mesh,
+  multi-host runs round-robin the case list (``_process_slice``), and
+  checkpoints are selectable per model (``coarse_checkpoint`` /
+  ``fine_checkpoint``); ``fine_model_dir`` may be a list (fine-fold
+  ensemble averaged on device, same contract checks as ``segmentation``).
 """
 from __future__ import annotations
 
 import os
 import time
 
+import jax as _jax
 import jax.numpy as jnp
 import numpy as np
 
 from segmentation3d_tpu.core.infer_engine import SlidingWindowInferer
 from segmentation3d_tpu.core.seg_infer import (
     SegModel, load_seg_model, find_cases, IMAGE_EXTS,
+    _ReadAhead, _WriteBehind, _DeferredVolume, _prep_modality, _post_mask,
+    _post_prob, _ens_add, _ens_finalize, _process_slice,
+    _check_ensemble_contract,
 )
 from segmentation3d_tpu.io import Volume, read_image, write_image
-from segmentation3d_tpu.ops.geometry import Frame, resampled_frame
-from segmentation3d_tpu.ops.resample import (
-    resample_spacing, resample_to_frame, LINEAR, NN,
+from segmentation3d_tpu.ops.components import (
+    pick_largest_connected_component, remove_small_connected_component,
 )
+from segmentation3d_tpu.ops.geometry import Frame, resampled_frame
+from segmentation3d_tpu.ops.mask_pack import unpack_mask
+from segmentation3d_tpu.ops.resample import resample_plan
+from segmentation3d_tpu.utils import model_io
+from segmentation3d_tpu.utils.normalizer import AdaptiveNormalizer
 
 
-def roi_from_mask(mask_zyx: np.ndarray, frame: Frame, margin_mm: float = 16.0):
-    """World-space bounding box (lo_xyz, hi_xyz) of mask foreground + margin.
-    Returns None if the mask is empty."""
-    nz = np.nonzero(mask_zyx > 0)
-    if nz[0].size == 0:
-        return None
-    lo_idx = np.array([nz[2].min(), nz[1].min(), nz[0].min()], np.float64)
-    hi_idx = np.array([nz[2].max(), nz[1].max(), nz[0].max()], np.float64)
+@_jax.jit
+def _roi_bounds(mask):
+    """Foreground bounding box of a label map, reduced ON DEVICE to seven
+    int32s ``[found, zlo, zhi, ylo, yhi, xlo, xhi]`` (inclusive).
+
+    The alternative — reading the whole coarse mask back to find its bbox on
+    host — moves megabytes over the relay's slow D2H direction (measured
+    3-20 MB/s, CLAUDE.md) per case; this reads 28 bytes."""
+    fg = mask > 0
+
+    def lohi(present):
+        n = present.shape[0]
+        lo = jnp.argmax(present)
+        hi = n - 1 - jnp.argmax(present[::-1])
+        return lo, hi
+
+    zlo, zhi = lohi(jnp.any(fg, axis=(1, 2)))
+    ylo, yhi = lohi(jnp.any(fg, axis=(0, 2)))
+    xlo, xhi = lohi(jnp.any(fg, axis=(0, 1)))
+    found = jnp.any(fg).astype(jnp.int32)
+    return jnp.stack([found, zlo, zhi, ylo, yhi, xlo, xhi]).astype(jnp.int32)
+
+
+def _roi_world(lo_idx_xyz, hi_idx_xyz, frame: Frame, margin_mm: float):
+    """World-space box of an index-space bbox + margin: min/max over the 8
+    transformed corners (direction matrices permute/flip axes, so per-axis
+    min/max must happen in world space)."""
     corners = []
-    for ix in (lo_idx[0], hi_idx[0]):
-        for iy in (lo_idx[1], hi_idx[1]):
-            for iz in (lo_idx[2], hi_idx[2]):
+    for ix in (lo_idx_xyz[0], hi_idx_xyz[0]):
+        for iy in (lo_idx_xyz[1], hi_idx_xyz[1]):
+            for iz in (lo_idx_xyz[2], hi_idx_xyz[2]):
                 corners.append(frame.index_to_world([ix, iy, iz]))
     corners = np.asarray(corners)
     return corners.min(axis=0) - margin_mm, corners.max(axis=0) + margin_mm
 
 
-def _fine_grid_for_roi(lo_xyz, hi_xyz, native: Volume, spacing, max_stride):
+def roi_from_mask(mask_zyx: np.ndarray, frame: Frame, margin_mm: float = 16.0):
+    """World-space bounding box (lo_xyz, hi_xyz) of mask foreground + margin.
+    Returns None if the mask is empty. (Host-side twin of ``_roi_bounds``,
+    kept for library users with masks already on host.)"""
+    nz = np.nonzero(mask_zyx > 0)
+    if nz[0].size == 0:
+        return None
+    lo_idx = np.array([nz[2].min(), nz[1].min(), nz[0].min()], np.float64)
+    hi_idx = np.array([nz[2].max(), nz[1].max(), nz[0].max()], np.float64)
+    return _roi_world(lo_idx, hi_idx, frame, margin_mm)
+
+
+def _fine_grid_for_roi(lo_xyz, hi_xyz, native: Volume, spacing, max_stride,
+                       bucket: int = 1):
     """Fine-pass frame/size covering the ROI (clipped to the native volume),
-    dims padded to x max_stride."""
+    dims padded to x max(max_stride, bucket). Returns (frame, size_xyz,
+    raw_size_xyz) where raw_size is the unpadded ROI extent (for adaptive
+    normalizer stats). Bucketing bounds the compiled-program count: ROI
+    sizes vary per case, and every distinct fine-grid shape is a distinct
+    program on the remote-compile relay."""
     nat_lo = native.frame.index_to_world([0.0, 0.0, 0.0])
     nat_hi = native.frame.index_to_world(native.size_xyz - 1.0)
     lo = np.maximum(np.minimum(nat_lo, nat_hi), lo_xyz)
     hi = np.minimum(np.maximum(nat_lo, nat_hi), hi_xyz)
     spacing = np.asarray(spacing, np.float64)
-    size = np.maximum(np.ceil((hi - lo) / spacing).astype(np.int64), 1)
-    size = (np.ceil(size / max_stride) * max_stride).astype(np.int64)
+    raw = np.maximum(np.ceil((hi - lo) / spacing).astype(np.int64), 1)
+    mult = max(int(max_stride), int(bucket or 0))
+    size = (np.ceil(raw / mult) * mult).astype(np.int64)
     frame = Frame(lo, spacing, native.frame.direction)
-    return frame, size
+    return frame, size, raw
+
+
+def _prep_pass(model: SegModel, vols, dev_data, dst_frame, dst_size,
+               valid_xyz, fill_value):
+    """Stack a model's input channels on the ``dst`` grid through the fused
+    preprocess program (``seg_infer._prep_modality``: bit-unpack + resample
+    + normalize in ONE jit). Shared by the coarse (whole-volume iso grid)
+    and fine (ROI grid) passes."""
+    channels = []
+    for mi, v in enumerate(vols):
+        if dev_data is not None:
+            src, pmeta = dev_data[mi]
+        else:
+            src, pmeta = v.data, {"scheme": "raw", "lo": 0,
+                                  "shape": tuple(v.data.shape)}
+        kind, coeffs, out_shape = resample_plan(v.frame, dst_frame, dst_size)
+        norm = model.normalizers[mi]
+        norm_spec = tuple(sorted(norm.to_dict().items())) \
+            if norm is not None else None
+        valid_zyx = (int(valid_xyz[2]), int(valid_xyz[1]), int(valid_xyz[0])) \
+            if isinstance(norm, AdaptiveNormalizer) else None
+        channels.append(_prep_modality(
+            jnp.asarray(src), jnp.asarray(coeffs),
+            jnp.asarray(pmeta["lo"], jnp.float32),
+            kind=kind, out_shape=out_shape, interp=model.interpolation,
+            fill=fill_value, norm_spec=norm_spec, valid_zyx=valid_zyx,
+            pack_scheme=pmeta["scheme"], src_shape=tuple(pmeta["shape"])))
+    return jnp.stack(channels, axis=-1)
 
 
 def segment_case_coarse_to_fine(
-        coarse: SegModel, fine: SegModel, image_paths,
-        coarse_inferer_cache: dict, fine_inferer: SlidingWindowInferer,
+        coarse: SegModel, fines, image_paths,
+        coarse_inferer_cache: dict, fine_inferers,
         patch_size_zyx, stride_zyx=None, margin_mm: float = 16.0,
-        fill_value: float = 0.0):
-    """Two-pass segmentation of one case -> (mask Volume, seconds, roi)."""
-    t0 = time.time()
-    vols = [read_image(p, dtype=np.float32) for p in image_paths]
-    native = vols[0]
+        fill_value: float = 0.0, shape_bucket: int = 32,
+        vols=None, dev_data=None, defer_host=False, save_prob=False,
+        post_processing=None):
+    """Two-pass segmentation of one case -> (mask Volume, prob list or
+    None, native Volume, seconds, roi).
 
-    # ---- pass 1: coarse whole-volume ---------------------------------------
-    chans = []
-    c_frame = None
-    for mi, v in enumerate(vols):
-        iso, c_frame, c_size = resample_spacing(
-            v.data, v.frame, coarse.spacing, pad_to_multiple=coarse.max_stride,
-            interp=coarse.interpolation, fill=fill_value)
-        if coarse.normalizers[mi] is not None:
-            iso = coarse.normalizers[mi](iso)
-        chans.append(iso)
-    cvol = jnp.stack(chans, axis=-1)
-    key = cvol.shape[:3]
-    if key not in coarse_inferer_cache:
-        coarse_inferer_cache[key] = SlidingWindowInferer(
-            coarse.net, key, coarse.out_channels, batch_size=1,
+    ``fines``/``fine_inferers``: the fine model(s) and matching inferer(s)
+    (length > 1 = a fine-fold ensemble averaged on device). With
+    ``defer_host=True`` the mask (and prob maps) return as
+    :class:`~segmentation3d_tpu.core.seg_infer._DeferredVolume` — the
+    packed D2H readback + CC post-processing run in the write-behind
+    thread, overlapping the next case's device compute."""
+    t0 = time.time()
+    if vols is None:
+        vols = [read_image(p) for p in image_paths]
+    native = vols[0]
+    assert len(vols) == coarse.in_channels, (
+        f"model expects {coarse.in_channels} modalities, got {len(vols)}")
+    fine = fines[0]
+
+    # ---- pass 1: coarse whole-volume on its padded iso grid ---------------
+    pad_mult = max(coarse.max_stride, int(shape_bucket or 0))
+    _, c_valid = resampled_frame(native.frame, native.size_xyz,
+                                 coarse.spacing, 1)
+    c_frame, c_size = resampled_frame(native.frame, native.size_xyz,
+                                      coarse.spacing, pad_mult)
+    cvol = _prep_pass(coarse, vols, dev_data, c_frame, c_size, c_valid,
+                      fill_value)
+    ckey = cvol.shape[:3]
+    if ckey not in coarse_inferer_cache:
+        coarse_inferer_cache[ckey] = SlidingWindowInferer(
+            coarse.net, ckey, coarse.out_channels, batch_size=1,
             blend="constant", apply_fn=getattr(coarse, "fused_apply", None),
             apply_vars=getattr(coarse, "fused_vars", None))
-    coarse_mask = np.asarray(coarse_inferer_cache[key](coarse.variables, cvol))
+    coarse_seg = coarse_inferer_cache[ckey](coarse.variables, cvol)
 
-    roi = roi_from_mask(coarse_mask, c_frame, margin_mm)
-    out_mask = np.zeros(native.data.shape, np.uint8)
-    if roi is None:
-        return Volume(out_mask, native.frame), time.time() - t0, None
+    # ROI bbox reduced on device; 7 int32s cross the link, not the mask
+    b = np.asarray(_roi_bounds(coarse_seg))
+    if not b[0]:
+        empty = np.zeros(native.data.shape[:3], np.uint8)
+        prob_out = None
+        if save_prob:
+            prob_out = []
+            for c in range(fine.out_channels):
+                pm = np.full(native.data.shape[:3], 1.0 if c == 0 else 0.0,
+                             np.float32)
+                prob_out.append((c, _DeferredVolume(native.frame,
+                                                    (lambda a=pm: a))
+                                 if defer_host else pm))
+        mask_vol = _DeferredVolume(native.frame, lambda: empty) \
+            if defer_host else Volume(empty, native.frame)
+        return mask_vol, prob_out, native, time.time() - t0, None
 
-    # ---- pass 2: fine sliding-window inside the ROI ------------------------
-    f_frame, f_size = _fine_grid_for_roi(roi[0], roi[1], native,
-                                         fine.spacing, fine.max_stride)
+    lo_idx = np.array([b[5], b[3], b[1]], np.float64)
+    hi_idx = np.array([b[6], b[4], b[2]], np.float64)
+    roi = _roi_world(lo_idx, hi_idx, c_frame, margin_mm)
+
+    # ---- pass 2: fine sliding-window inside the ROI -----------------------
+    f_frame, f_size, f_raw = _fine_grid_for_roi(
+        roi[0], roi[1], native, fine.spacing, fine.max_stride,
+        bucket=shape_bucket)
     # patches must fit the ROI grid
     f_size_zyx = np.maximum(f_size[::-1], np.asarray(patch_size_zyx))
     f_size = f_size_zyx[::-1].copy()
-    chans = []
-    for mi, v in enumerate(vols):
-        roi_vol = resample_to_frame(v.data, v.frame, f_frame, f_size,
-                                    interp=fine.interpolation, fill=fill_value)
-        if fine.normalizers[mi] is not None:
-            roi_vol = fine.normalizers[mi](roi_vol)
-        chans.append(roi_vol)
-    fvol = jnp.stack(chans, axis=-1)
-    fine_mask = fine_inferer(fine.variables, fvol, stride_zyx=stride_zyx)
+    f_valid = np.minimum(f_raw, f_size)
+    fvol = _prep_pass(fine, vols, dev_data, f_frame, f_size, f_valid,
+                      fill_value)
 
-    # ---- paste fine labels back into the native frame ----------------------
-    pasted = resample_to_frame(fine_mask.astype(jnp.int32), f_frame,
-                               native.frame, native.size_xyz, interp=NN)
-    out_mask = np.asarray(pasted).astype(np.uint8)
-    return Volume(out_mask, native.frame), time.time() - t0, roi
+    if len(fines) > 1:
+        prob = fine_inferers[0](fine.variables, fvol, stride_zyx=stride_zyx,
+                                return_prob=True)[1]
+        for m2, inf2 in zip(fines[1:], fine_inferers[1:]):
+            prob = _ens_add(prob, inf2(m2.variables, fvol,
+                                       stride_zyx=stride_zyx,
+                                       return_prob=True)[1])
+        prob, fine_seg = _ens_finalize(prob, n=len(fines))
+    else:
+        fine_seg, prob = fine_inferers[0](fine.variables, fvol,
+                                          stride_zyx=stride_zyx,
+                                          return_prob=True)
+
+    # ---- paste fine labels back into the native frame (device, packed) ---
+    back_kind, back_coeffs, back_shape = resample_plan(
+        f_frame, native.frame, native.size_xyz)
+    nx = int(native.size_xyz[0])
+    packed = _post_mask(fine_seg, jnp.asarray(back_coeffs), kind=back_kind,
+                        out_shape=back_shape, num_classes=fine.out_channels)
+
+    def to_mask():
+        m = unpack_mask(np.asarray(packed), nx, fine.out_channels)
+        if post_processing:
+            kind = post_processing.get("type")
+            if kind == "largest_cc":
+                m = pick_largest_connected_component(m)
+            elif kind == "remove_small_cc":
+                m = remove_small_connected_component(
+                    m, int(post_processing.get("threshold", 64)))
+        return m
+
+    prob_out = None
+    if save_prob:
+        # voxels outside the ROI resample from fill (0.0 for every class) —
+        # the maps are exact inside the ROI, where the fine model ran
+        prob_native = _post_prob(prob, jnp.asarray(back_coeffs),
+                                 kind=back_kind, out_shape=back_shape)
+        host_cache = {}
+
+        def prob_host():
+            if "a" not in host_cache:
+                host_cache["a"] = np.asarray(prob_native)
+            return host_cache["a"]
+
+        def chan(c):
+            return lambda: prob_host()[..., c].astype(np.float32)
+
+        prob_out = []
+        for c in range(fine.out_channels):
+            if defer_host:
+                prob_out.append((c, _DeferredVolume(native.frame, chan(c))))
+            else:
+                prob_out.append((c, chan(c)()))
+
+    if defer_host:
+        mask_vol = _DeferredVolume(native.frame, to_mask)
+    else:
+        mask_vol = Volume(to_mask(), native.frame)
+    return mask_vol, prob_out, native, time.time() - t0, roi
 
 
 _C2F_SESSIONS: dict = {}
 
 
-def _build_c2f_session(coarse_model_dir, fine_model_dir, dtype, patch,
+def _build_c2f_session(coarse_model_dir, fine_model_dirs, dtype, patch,
                        stride, batch_size, quant=None, act_clip=8.0,
-                       calib_paths=None, tta=()):
-    """Load both models, attach fused forwards, build the fine inferer.
+                       calib_paths=None, tta=(), blend="gaussian",
+                       mesh=None, coarse_checkpoint=None,
+                       fine_checkpoint=None):
+    """Load both models, attach fused forwards, build the fine inferer(s).
 
-    ``quant="int8"`` quantizes the FINE model's packed forward (the fine
+    ``quant="int8"`` quantizes the FINE models' packed forwards (the fine
     pass dominates the two-pass time); the coarse pass keeps full
     precision (its whole-volume widths are only known per case, so it uses
     the window forward, which has no quantized form). ``calib_paths``
-    calibrates the fine model's activation scales on a representative image
+    calibrates each fine model's activation scales on a representative image
     (one per modality), exactly like ``seg_infer --int8_calib``.
     Misconfiguration raises — never a silent full-precision run."""
-    coarse = load_seg_model(coarse_model_dir, dtype=dtype)
-    fine = load_seg_model(fine_model_dir, dtype=dtype)
-    calib = None
+    coarse = load_seg_model(coarse_model_dir, dtype=dtype,
+                            checkpoint=coarse_checkpoint)
+    fines = [load_seg_model(d, dtype=dtype, checkpoint=fine_checkpoint)
+             for d in fine_model_dirs]
+    _check_ensemble_contract(fines, fine_model_dirs)
+    calibs = [None] * len(fines)
     if calib_paths is not None:
         if quant is None:
             raise ValueError("calib_image only applies with quant")
         from segmentation3d_tpu.core.seg_infer import _calibrate_for_model
-        calib = _calibrate_for_model(fine, calib_paths, dtype)
+        calibs = [_calibrate_for_model(f, list(calib_paths), dtype)
+                  for f in fines]
 
-    def attach_fused(model, patch_w, q=None):
+    def attach_fused(model, patch_w, q=None, calib=None):
         """Attach the packed-domain (or window) fused forward to a SegModel
         (consumed via the ``fused_apply``/``fused_vars`` attributes)."""
         import jax
@@ -183,19 +357,22 @@ def _build_c2f_session(coarse_model_dir, fine_model_dir, dtype, patch,
                     f"quant={q!r} requires the packed-domain forward, "
                     "which this architecture does not support")
 
-    attach_fused(fine, patch[2], q=quant)
+    for f, c in zip(fines, calibs):
+        attach_fused(f, patch[2], q=quant, calib=c)
     # coarse pass volumes are whole downsampled volumes bucketed to the
     # model stride; width divisibility is only known per case, so use the
     # window-conv fused forward (always valid)
     attach_fused(coarse, 1)
     # tta applies to the FINE pass only: the coarse pass exists to find the
     # ROI, where mirror averaging buys nothing the margin doesn't already
-    fine_inferer = SlidingWindowInferer(
-        fine.net, patch, fine.out_channels, batch_size=batch_size,
-        blend="gaussian" if stride != patch else "constant",
-        apply_fn=getattr(fine, "fused_apply", None),
-        apply_vars=getattr(fine, "fused_vars", None), tta=tta)
-    return {"coarse": coarse, "fine": fine, "fine_inferer": fine_inferer,
+    fine_inferers = [SlidingWindowInferer(
+        f.net, patch, f.out_channels, batch_size=batch_size,
+        blend=blend if stride != patch else "constant",
+        apply_fn=getattr(f, "fused_apply", None),
+        apply_vars=getattr(f, "fused_vars", None), tta=tta, mesh=mesh)
+        for f in fines]
+    return {"coarse": coarse, "fine": fines[0], "fines": fines,
+            "fine_inferer": fine_inferers[0], "fine_inferers": fine_inferers,
             "coarse_cache": {}}
 
 
@@ -203,72 +380,136 @@ def segmentation_coarse_to_fine(
         input_path, coarse_model_dir, fine_model_dir, output_dir,
         seg_name="seg.mha", partition_size=(96, 96, 96),
         partition_stride=None, batch_size=8, margin_mm=16.0,
-        dtype=jnp.float32, save_image=False, quant=None, act_clip=8.0,
-        calib_image=None, tta=None):
+        dtype=jnp.float32, save_image=False, save_prob=False,
+        post_processing=None, quant=None, act_clip=8.0,
+        calib_image=None, tta=None, blend="gaussian", num_devices=1,
+        shape_bucket=32, coarse_checkpoint=None, fine_checkpoint=None):
     """Batch driver mirroring ``core.seg_infer.segmentation`` for the
-    two-pass pipeline. ``calib_image`` (path or per-modality path list)
-    calibrates the quantized fine model like ``seg_infer --int8_calib``;
-    ``tta`` mirror-averages the fine pass like ``seg_infer --tta``."""
+    two-pass pipeline — same host machinery (two-stage read-ahead /
+    write-behind, per-case failure isolation, multi-host case slicing) and
+    the same feature surface:
+
+    ``save_prob`` writes per-class f16-readback probability maps (exact
+    inside the ROI; fill outside); ``post_processing`` applies the same CC
+    cleanup dict as ``segmentation``; ``num_devices`` shards the FINE
+    pass's patch batches over a data mesh; ``coarse_checkpoint`` /
+    ``fine_checkpoint`` select each model's checkpoint ('latest'/'best'/
+    epoch); ``fine_model_dir`` may be a list of fine-fold directories whose
+    probabilities are averaged on device (coarse stays single — it only
+    finds the ROI). ``calib_image`` calibrates the quantized fine model(s)
+    like ``seg_infer --int8_calib``; ``tta`` mirror-averages the fine pass.
+    """
     from segmentation3d_tpu.core.infer_engine import tta_axes
+    import jax
     tta = tta_axes(tta)
-    cases = find_cases(input_path)
-    os.makedirs(output_dir, exist_ok=True)
+    mesh = None
+    if num_devices is not None and (num_devices > 1 or num_devices < 0):
+        from segmentation3d_tpu.parallel import make_mesh
+        local = jax.local_devices() if jax.process_count() > 1 else None
+        m = make_mesh(num_devices, devices=local)
+        if m.devices.size > 1:
+            mesh = m
 
     patch = tuple(int(v) for v in np.asarray(partition_size)[::-1])
     stride = tuple(int(v) for v in np.asarray(partition_stride)[::-1]) \
         if partition_stride is not None else patch
 
-    # session reuse across calls (same rationale as seg_infer._SESSIONS:
-    # re-created inferers force a full retrace+recompile per call)
-    from segmentation3d_tpu.utils import model_io as _mio
-    def _ck(d):
-        c = _mio.latest_checkpoint(d)
-        return (c, os.path.getmtime(os.path.join(c, "params.pth")))
+    fine_dirs = [fine_model_dir] if isinstance(
+        fine_model_dir, (str, os.PathLike)) else [str(d) for d in fine_model_dir]
+    if not fine_dirs:
+        raise ValueError("fine_model_dir must name at least one model")
     calib_paths = None
     if calib_image is not None:
         calib_paths = tuple(calib_image) if isinstance(
             calib_image, (list, tuple)) else (calib_image,)
         if quant is None:
             raise ValueError("calib_image only applies with quant")
-    skey = (_ck(coarse_model_dir), _ck(fine_model_dir),
+
+    # session reuse across calls (same rationale as seg_infer._SESSIONS:
+    # re-created inferers force a full retrace+recompile per call); keyed by
+    # checkpoint identity + every option that shapes the compiled programs
+    def _ck(d, which):
+        c = model_io.resolve_checkpoint(d, which)
+        return (c, os.path.getmtime(os.path.join(c, "params.pth")))
+    skey = (_ck(coarse_model_dir, coarse_checkpoint),
+            tuple(_ck(d, fine_checkpoint) for d in fine_dirs),
             jnp.dtype(dtype).name, patch, stride, int(batch_size),
-            quant, float(act_clip), calib_paths, tta)
+            quant, float(act_clip), calib_paths, tta, blend,
+            tuple(np.asarray(mesh.devices).reshape(-1).tolist())
+            if mesh is not None else None)
     sess = _C2F_SESSIONS.get(skey)
     if sess is None:
         while len(_C2F_SESSIONS) >= 2:
             _C2F_SESSIONS.pop(next(iter(_C2F_SESSIONS)))
-        sess = _build_c2f_session(coarse_model_dir, fine_model_dir, dtype,
-                                  patch, stride, batch_size, quant=quant,
-                                  act_clip=act_clip, calib_paths=calib_paths,
-                                  tta=tta)
+        sess = _build_c2f_session(
+            coarse_model_dir, fine_dirs, dtype, patch, stride, batch_size,
+            quant=quant, act_clip=act_clip, calib_paths=calib_paths, tta=tta,
+            blend=blend, mesh=mesh, coarse_checkpoint=coarse_checkpoint,
+            fine_checkpoint=fine_checkpoint)
         _C2F_SESSIONS[skey] = sess
-    coarse, fine = sess["coarse"], sess["fine"]
-    fine_inferer, coarse_cache = sess["fine_inferer"], sess["coarse_cache"]
+    coarse = sess["coarse"]
+    fines, fine_inferers = sess["fines"], sess["fine_inferers"]
+    coarse_cache = sess["coarse_cache"]
+
+    cases = find_cases(input_path)
+    n_global = len(cases)
+    cases = _process_slice(cases)  # multi-host round-robin (seg_infer P2)
+    os.makedirs(output_dir, exist_ok=True)
+    if not cases:
+        if n_global:
+            print(f"note: empty case slice on process "
+                  f"{jax.process_index()}/{jax.process_count()} "
+                  f"({n_global} case(s) assigned to other processes)")
+        else:
+            print(f"warning: no cases found at {input_path}")
+        return []
 
     results = []
     failures = []
-    for image_paths in cases:
-        name = os.path.basename(image_paths[0])
-        for suf in IMAGE_EXTS:
-            if name.endswith(suf):
-                name = name[: -len(suf)]
-                break
-        try:
-            mask_vol, secs, roi = segment_case_coarse_to_fine(
-                coarse, fine, image_paths, coarse_cache, fine_inferer,
-                patch, stride, margin_mm)
-            case_dir = os.path.join(output_dir, name)
-            write_image(mask_vol, os.path.join(case_dir, seg_name))
-            if save_image:
-                write_image(read_image(image_paths[0]),
-                            os.path.join(case_dir, "org.mha"))
-        except Exception as e:  # one bad case must not abort the batch run
-            print(f"ERROR: coarse-to-fine segmentation of {name} failed: {e}")
+    writer = _WriteBehind()
+    try:
+        for image_paths, vols, devs, read_err in _ReadAhead(cases):
+            name = os.path.basename(image_paths[0])
+            for suf in IMAGE_EXTS:
+                if name.endswith(suf):
+                    name = name[: -len(suf)]
+                    break
+            if read_err is not None:
+                print(f"ERROR: skipping {name}: {read_err}")
+                failures.append((name, read_err))
+                continue
+            try:
+                mask_vol, prob_out, native, secs, roi = \
+                    segment_case_coarse_to_fine(
+                        coarse, fines, image_paths, coarse_cache,
+                        fine_inferers, patch, stride, margin_mm,
+                        shape_bucket=shape_bucket, vols=vols, dev_data=devs,
+                        defer_host=True, save_prob=save_prob,
+                        post_processing=post_processing)
+                case_dir = os.path.join(output_dir, name)
+                jobs = [(mask_vol, os.path.join(case_dir, seg_name))]
+                if save_image:
+                    jobs.append((native, os.path.join(case_dir, "org.mha")))
+                if prob_out:
+                    jobs.extend((p if isinstance(p, _DeferredVolume)
+                                 else Volume(p, native.frame),
+                                 os.path.join(case_dir, f"prob_{c}.mha"))
+                                for c, p in prob_out)
+                writer.submit(name, jobs)
+            except Exception as e:  # one bad case must not abort the batch
+                print(f"ERROR: coarse-to-fine segmentation of {name} "
+                      f"failed: {e}")
+                failures.append((name, e))
+                continue
+            print(f"coarse-to-fine segmentation of {name}: {secs:.2f} s "
+                  f"(roi={'found' if roi is not None else 'empty'})")
+            results.append((name, secs))
+    finally:
+        # drain pending deferred writes even on an aborted loop
+        for name, e in writer.close():
+            print(f"ERROR: writing results of {name} failed: {e}")
             failures.append((name, e))
-            continue
-        print(f"coarse-to-fine segmentation of {name}: {secs:.2f} s "
-              f"(roi={'found' if roi is not None else 'empty'})")
-        results.append((name, secs))
+            results[:] = [r for r in results if r[0] != name]
     if failures and not results:
         raise failures[0][1]  # everything failed: not a per-case hiccup
     return results

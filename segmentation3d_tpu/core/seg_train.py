@@ -551,6 +551,8 @@ def train(config_file: str):
             normalizers=cfg.dataset.crop_normalizers,
             num_classes=num_classes, max_stride=max_stride,
             shape_bucket=int(cfg.train.get("val_shape_bucket", 32)),
+            size_cap=int(cfg.train.get("val_size_cap", 256)),
+            slab_z=int(cfg.train.get("val_slab_z", 64)),
             inferer_cache=val_inferers)
         detail = ", ".join(f"c{c + 1}: {d:.4f}" for c, d in enumerate(per_class))
         logger.info(f"epoch: {epoch_idx}, val dice: {mean_dice:.4f} "

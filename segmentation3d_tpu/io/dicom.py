@@ -40,10 +40,17 @@ _UNCOMPRESSED = {
     "1.2.840.10008.1.2",        # implicit VR LE
     "1.2.840.10008.1.2.1",      # explicit VR LE
 }
+_RLE_LOSSLESS = "1.2.840.10008.1.2.5"   # PS3.5 Annex G (PackBits segments)
+_SUPPORTED = _UNCOMPRESSED | {_RLE_LOSSLESS}
 
 
 def _parse_elements(buf: bytes, start: int, explicit: bool, stop_tag=TAG_PIXEL_DATA):
-    """Yield ((group, elem), value_bytes); stops after pixel data."""
+    """Yield ((group, elem), value_bytes); stops after pixel data.
+
+    Encapsulated (undefined-length) PixelData — the container compressed
+    transfer syntaxes use — yields a LIST of per-frame fragment bytes (the
+    leading Basic Offset Table item is skipped); any other undefined-length
+    element still raises."""
     pos = start
     n = len(buf)
     while pos + 8 <= n:
@@ -61,13 +68,133 @@ def _parse_elements(buf: bytes, start: int, explicit: bool, stop_tag=TAG_PIXEL_D
             length = struct.unpack_from("<I", buf, pos)[0]
             pos += 4
         if length == 0xFFFFFFFF:
-            raise ValueError("undefined-length (compressed/sequence) element "
-                             "not supported by the minimal DICOM reader")
+            if (group, elem) != TAG_PIXEL_DATA:
+                raise ValueError(
+                    "undefined-length (sequence) element not supported by "
+                    "the minimal DICOM reader")
+            frames = []
+            first = True  # the first item is the Basic Offset Table
+            while pos + 8 <= n:
+                ig, ie = struct.unpack_from("<HH", buf, pos)
+                ilen = struct.unpack_from("<I", buf, pos + 4)[0]
+                pos += 8
+                if (ig, ie) == (0xFFFE, 0xE0DD):  # sequence delimiter
+                    break
+                if (ig, ie) != (0xFFFE, 0xE000):
+                    raise ValueError("malformed encapsulated PixelData item")
+                item = buf[pos:pos + ilen]
+                pos += ilen
+                if first:
+                    first = False
+                else:
+                    frames.append(item)
+            yield (group, elem), frames
+            return
         value = buf[pos:pos + length]
         pos += length
         yield (group, elem), value
         if (group, elem) == stop_tag:
             return
+
+
+# ---------------------------------------------------------------------------
+# RLE Lossless (PS3.5 Annex G): each frame is a 64-byte header (uint32
+# segment count + 15 uint32 segment offsets) followed by PackBits-coded
+# byte-plane segments, MSB plane first ("composite pixel code MSB first").
+# The reference gets this free via SimpleITK/GDCM (SURVEY C15); RLE covers
+# most compressed CT archives, so it gets a first-party numpy decoder here
+# while JPEG families keep the clear unsupported error.
+# ---------------------------------------------------------------------------
+
+
+def _packbits_decode(b: bytes, out_len: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(b)
+    while i < n and len(out) < out_len:
+        h = b[i]
+        i += 1
+        if h < 128:                      # literal run of h+1 bytes
+            out += b[i:i + h + 1]
+            i += h + 1
+        elif h > 128:                    # replicate next byte 257-h times
+            out += b[i:i + 1] * (257 - h)
+            i += 1
+        # h == 128: no-op
+    if len(out) < out_len:
+        raise ValueError("truncated RLE segment")
+    return bytes(out[:out_len])
+
+
+def _packbits_encode(b: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(b)
+    while i < n:
+        # find run length of identical bytes at i
+        run = 1
+        while i + run < n and run < 128 and b[i + run] == b[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(b[i])
+            i += run
+            continue
+        # literal stretch: until the next >=3-run (2-runs inside literals
+        # cost the same either way) or 128 bytes
+        j = i + 1
+        while j < n and j - i < 128:
+            if j + 2 < n and b[j] == b[j + 1] == b[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += b[i:j]
+        i = j
+    return bytes(out)
+
+
+def _rle_decode_frame(blob: bytes, npix: int, bytes_per_sample: int) -> bytes:
+    """One RLE frame -> raw little-endian sample bytes (length
+    npix * bytes_per_sample)."""
+    if len(blob) < 64:
+        raise ValueError("truncated RLE frame header")
+    header = struct.unpack_from("<16I", blob, 0)
+    nseg = header[0]
+    if nseg != bytes_per_sample:
+        raise ValueError(f"RLE frame has {nseg} segments for "
+                         f"{bytes_per_sample}-byte samples")
+    offsets = list(header[1:1 + nseg]) + [len(blob)]
+    planes = []
+    for s in range(nseg):
+        planes.append(np.frombuffer(
+            _packbits_decode(blob[offsets[s]:offsets[s + 1]], npix),
+            np.uint8))
+    # planes are MSB-first; recombine to little-endian sample bytes
+    out = np.empty((npix, bytes_per_sample), np.uint8)
+    for s, plane in enumerate(planes):
+        out[:, bytes_per_sample - 1 - s] = plane
+    return out.tobytes()
+
+
+def _rle_encode_frame(img: np.ndarray) -> bytes:
+    """Inverse of :func:`_rle_decode_frame` for one [rows, cols] slice of a
+    1- or 2-byte dtype (each byte plane PackBits-coded, MSB plane first,
+    segments padded to even length per PS3.5 G.3.1)."""
+    flat = np.ascontiguousarray(img).reshape(-1)
+    bps = flat.dtype.itemsize
+    if bps not in (1, 2):
+        raise ValueError(f"RLE supports 1/2-byte samples, got {flat.dtype}")
+    le = flat.view(np.uint8).reshape(-1, bps)  # little-endian byte planes
+    segs = []
+    for s in range(bps):                        # MSB plane first
+        seg = _packbits_encode(le[:, bps - 1 - s].tobytes())
+        if len(seg) % 2:
+            seg += b"\x00"
+        segs.append(seg)
+    header = [len(segs)] + [0] * 15
+    off = 64
+    for s, seg in enumerate(segs):
+        header[1 + s] = off
+        off += len(seg)
+    return struct.pack("<16I", *header) + b"".join(segs)
 
 
 def _read_file(path: str) -> dict:
@@ -85,8 +212,11 @@ def _read_file(path: str) -> dict:
                     transfer = val.decode("ascii", "ignore").strip("\x00 ").strip()
             else:
                 break
-        if transfer not in _UNCOMPRESSED:
-            raise ValueError(f"{path}: compressed transfer syntax {transfer} unsupported")
+        if transfer not in _SUPPORTED:
+            raise ValueError(
+                f"{path}: compressed transfer syntax {transfer} unsupported "
+                f"(native LE and RLE Lossless {_RLE_LOSSLESS} are supported; "
+                "JPEG families are not — transcode with e.g. gdcmconv)")
         # find where group 0002 ends: re-scan body from after the meta group
         meta_len = None
         for tag, val in _parse_elements(buf, 132, explicit=True, stop_tag=(0xFFFF, 0xFFFF)):
@@ -159,6 +289,16 @@ def read_dicom_series(folder: str):
         raw = e.get(TAG_PIXEL_DATA)
         if raw is None:
             continue
+        if isinstance(raw, list):  # encapsulated frames (RLE Lossless)
+            transfer = _decode(e, TAG_TRANSFER_SYNTAX, "str", "")
+            if transfer != _RLE_LOSSLESS:
+                raise ValueError(
+                    f"{p}: encapsulated transfer syntax {transfer} unsupported")
+            if len(raw) != 1:
+                raise ValueError(
+                    f"{p}: expected one RLE fragment per single-frame file, "
+                    f"got {len(raw)}")
+            raw = _rle_decode_frame(raw[0], rows * cols, bits // 8)
         dtype = {8: np.int8 if signed else np.uint8,
                  16: np.int16 if signed else np.uint16,
                  32: np.int32 if signed else np.uint32}[bits]
@@ -222,8 +362,11 @@ def _ds(*vals) -> bytes:
 
 
 def write_dicom_series(folder: str, data: np.ndarray, frame: Frame,
-                       series_uid: str | None = None) -> list[str]:
-    """Write ``data [z,y,x]`` as one explicit-VR-LE DICOM file per slice.
+                       series_uid: str | None = None,
+                       compress: str | None = None) -> list[str]:
+    """Write ``data [z,y,x]`` as one DICOM file per slice — explicit-VR-LE
+    native pixels by default, ``compress="rle"`` for RLE Lossless
+    (``1.2.840.10008.1.2.5``, encapsulated PackBits byte planes).
 
     Float data is linearly quantized to int16 and the inverse map recorded
     as RescaleSlope/RescaleIntercept, so ``read_dicom_series`` (or any DICOM
@@ -233,6 +376,8 @@ def write_dicom_series(folder: str, data: np.ndarray, frame: Frame,
     data = np.asarray(data)
     if data.ndim != 3:
         raise ValueError(f"expected [z,y,x] volume, got shape {data.shape}")
+    if compress not in (None, "rle"):
+        raise ValueError(f"compress must be None or 'rle', got {compress!r}")
     os.makedirs(folder, exist_ok=True)
     series_uid = series_uid or _new_uid()
 
@@ -274,12 +419,21 @@ def write_dicom_series(folder: str, data: np.ndarray, frame: Frame,
             _elem(0x0028, 0x0103, b"US", struct.pack("<H", 1)),
             _elem(0x0028, 0x1052, b"DS", _ds(intercept)),
             _elem(0x0028, 0x1053, b"DS", _ds(slope)),
-            _elem(0x7FE0, 0x0010, b"OW", stored[k].tobytes()),
         ])
+        if compress == "rle":
+            blob = _rle_encode_frame(stored[k])
+            body += struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0,
+                                0xFFFFFFFF)
+            body += struct.pack("<HHI", 0xFFFE, 0xE000, 0)  # empty BOT item
+            body += struct.pack("<HHI", 0xFFFE, 0xE000, len(blob)) + blob
+            body += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)  # seq delimiter
+        else:
+            body += _elem(0x7FE0, 0x0010, b"OW", stored[k].tobytes())
+        transfer = _RLE_LOSSLESS if compress == "rle" else _EXPLICIT_LE
         meta_tail = b"".join([
             _elem(0x0002, 0x0002, b"UI", _SC_SOP_CLASS.encode()),
             _elem(0x0002, 0x0003, b"UI", sop_uid.encode()),
-            _elem(0x0002, 0x0010, b"UI", _EXPLICIT_LE.encode()),
+            _elem(0x0002, 0x0010, b"UI", transfer.encode()),
         ])
         meta = _elem(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_tail))) \
             + meta_tail

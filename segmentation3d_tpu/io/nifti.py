@@ -38,24 +38,77 @@ _CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
 _GZIP_LEVEL = int(os.environ.get("SEG3D_GZIP_LEVEL", "1"))
 
 
+class _OneShotGzipWriter:
+    """File-like ``.gz`` writer that buffers the payload (zero-copy: the
+    memoryviews keep their exporters alive) and compresses it in ONE
+    libdeflate pass at close — the write-behind thread's largest host stage
+    (gzip-write, ~1.5 s/case at zlib level 1; libdeflate measures 2-3x
+    faster on whole buffers). Falls back to streaming ``gzip.open`` when
+    the native codec is unavailable."""
+
+    def __init__(self, path, level):
+        self._path = path
+        self._level = level
+        self._parts = []
+        self.closed = False
+
+    def write(self, b):
+        self._parts.append(memoryview(b).cast("B"))
+        return len(self._parts[-1])
+
+    def close(self):
+        if self.closed:
+            return
+        self.closed = True
+        total = sum(len(p) for p in self._parts)
+        buf = bytearray(total)
+        off = 0
+        for p in self._parts:
+            buf[off:off + len(p)] = p
+            off += len(p)
+        from segmentation3d_tpu import native
+        blob = native.gzip_compress(buf, self._level)
+        if blob is not None:
+            with open(self._path, "wb") as f:
+                f.write(blob)
+        else:
+            with gzip.open(self._path, "wb",
+                           compresslevel=self._level) as f:
+                f.write(buf)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if exc[0] is None:  # do not write a truncated .gz on error
+            self.close()
+        return False
+
+
 def _open(path, mode="rb"):
     if str(path).endswith(".gz"):
         if "w" in mode:
-            return gzip.open(path, mode, compresslevel=_GZIP_LEVEL)
+            return _OneShotGzipWriter(path, _GZIP_LEVEL)
         return gzip.open(path, mode)
     return open(path, mode)
 
 
 def _read_bytes(path) -> bytes:
-    """Whole file -> decompressed bytes. For .gz this is a ONE-SHOT zlib
+    """Whole file -> decompressed bytes. For .gz this is a ONE-SHOT
     decompress of the full compressed blob instead of ``gzip.open``'s
     chunked stream (measured 1.1 s vs 1.65 s for a 113 MB 384^3 int16
-    volume on this 1-core host — the read side of the e2e per-case budget)."""
+    volume on this 1-core host — the read side of the e2e per-case budget).
+    Round-4: the one-shot goes through libdeflate when the native codec is
+    built (``native.gunzip``, measured ~2.5x the zlib path), zlib otherwise."""
     import zlib
     with open(path, "rb") as f:
         raw = f.read()
     if not str(path).endswith(".gz"):
         return raw
+    from segmentation3d_tpu import native
+    fast = native.gunzip(raw)
+    if fast is not None:
+        return fast
     out = []
     while raw:
         d = zlib.decompressobj(wbits=31)

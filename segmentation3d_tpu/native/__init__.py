@@ -44,17 +44,22 @@ def _build() -> str | None:
         return so
     os.makedirs(cache, exist_ok=True)
     tmp = so + f".tmp.{os.getpid()}"
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(tmp, so)  # atomic vs concurrent builders
-        return so
-    except (OSError, subprocess.SubprocessError):
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
+    # first attempt links libdeflate (the fast one-shot gzip path); hosts
+    # without it fall back to a build with those symbols compiled out — the
+    # rest of the codec must not be lost to a missing optional library
+    for cmd in (base + ["-ldeflate"],
+                base + ["-DSEG3D_DISABLE_LIBDEFLATE"]):
         try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        return None
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp, so)  # atomic vs concurrent builders
+            return so
+        except (OSError, subprocess.SubprocessError):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+    return None
 
 
 def get_lib():
@@ -93,6 +98,20 @@ def _declare(lib) -> None:
     for fn in ("seg3d_minmax_i16", "seg3d_minmax_u16", "seg3d_sub_u8",
                "seg3d_pack12_u16", "seg3d_unpack_bits"):
         getattr(lib, fn).restype = None
+    # optional libdeflate-backed gzip (absent when built without the lib)
+    try:
+        szp = ctypes.POINTER(ctypes.c_size_t)
+        lib.seg3d_gzip_bound.argtypes = [ctypes.c_size_t, ctypes.c_int]
+        lib.seg3d_gzip_bound.restype = ctypes.c_size_t
+        lib.seg3d_gzip_compress.argtypes = [u8p, ctypes.c_size_t,
+                                            ctypes.c_int, u8p, ctypes.c_size_t]
+        lib.seg3d_gzip_compress.restype = ctypes.c_size_t
+        lib.seg3d_gunzip_member.argtypes = [u8p, ctypes.c_size_t, u8p,
+                                            ctypes.c_size_t, szp, szp]
+        lib.seg3d_gunzip_member.restype = ctypes.c_int
+        lib._seg3d_has_gzip = True
+    except AttributeError:
+        lib._seg3d_has_gzip = False
 
 
 def _u16_view(data: np.ndarray) -> np.ndarray | None:
@@ -158,6 +177,81 @@ def pack12(data: np.ndarray, lo: int) -> np.ndarray | None:
         out[0].ctypes.data_as(u8), out[1].ctypes.data_as(u8),
         out[2].ctypes.data_as(u8))
     return out
+
+
+def gzip_compress(payload, level: int = 1) -> bytes | None:
+    """One-shot gzip of a bytes-like payload via libdeflate (measured 2-3x
+    zlib on whole buffers — the write-behind thread's largest stage); None
+    -> caller uses the zlib/gzip path. ``level`` is the ZLIB-scale level
+    (1-9); libdeflate's scale is compatible for that range."""
+    lib = get_lib()
+    if lib is None or not getattr(lib, "_seg3d_has_gzip", False):
+        return None
+    src = np.frombuffer(payload, np.uint8) if not isinstance(
+        payload, np.ndarray) else payload.reshape(-1).view(np.uint8)
+    if not src.flags.c_contiguous:
+        src = np.ascontiguousarray(src)
+    level = min(max(int(level), 1), 12)
+    cap = lib.seg3d_gzip_bound(src.size, level)
+    if cap == 0:
+        return None
+    dst = np.empty(cap, np.uint8)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    out = lib.seg3d_gzip_compress(src.ctypes.data_as(u8), src.size, level,
+                                  dst.ctypes.data_as(u8), cap)
+    if out == 0:
+        return None
+    return dst[:out].tobytes()
+
+
+def gunzip(raw: bytes) -> bytes | None:
+    """One-shot gunzip of a complete (possibly multi-member) .gz blob via
+    libdeflate; None -> caller uses the zlib path. The first attempt sizes
+    the output from the gzip ISIZE trailer (exact for <4 GiB single-member
+    files — everything this framework writes); a short buffer grows and
+    retries, corrupt data falls back."""
+    lib = get_lib()
+    if lib is None or not getattr(lib, "_seg3d_has_gzip", False):
+        return None
+    if len(raw) < 18:  # minimal gzip member size
+        return None
+    src = np.frombuffer(raw, np.uint8)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    members = []
+    off = 0
+    n = src.size
+    while off < n:
+        # ISIZE of the LAST member; for the common single-member file this
+        # is the exact payload size. Off-by-members/mod-2^32 cases surface
+        # as INSUFFICIENT_SPACE and grow below.
+        isize = int.from_bytes(raw[-4:], "little")
+        cap = max(isize, 1, (n - off) * 2)
+        for _ in range(3):
+            dst = np.empty(cap, np.uint8)
+            in_used = ctypes.c_size_t()
+            out_used = ctypes.c_size_t()
+            rc = lib.seg3d_gunzip_member(
+                src[off:].ctypes.data_as(u8), n - off,
+                dst.ctypes.data_as(u8), cap,
+                ctypes.byref(in_used), ctypes.byref(out_used))
+            if rc == 0:
+                members.append(dst[:out_used.value].tobytes())
+                off += in_used.value
+                break
+            if rc == 1 and cap < (1 << 34):
+                cap *= 4
+                continue
+            if members:
+                # trailing garbage/padding after decoded member(s): return
+                # what decoded, like the zlib fallback's not-eof break
+                off = n
+                break
+            return None  # bad data / absurd size: let zlib diagnose
+        else:
+            return None
+        if off < n and in_used.value == 0:
+            return None
+    return members[0] if len(members) == 1 else b"".join(members)
 
 
 def unpack_bits(packed: np.ndarray, bits: int) -> np.ndarray | None:

@@ -94,3 +94,61 @@ void seg3d_unpack_bits(const uint8_t* in, size_t nbytes, int bits,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// gzip via libdeflate (round-4): gunzip (~1.6 s) and gzip-write (~1.5 s)
+// were the two largest single-core host stages of the e2e per-case budget
+// (BASELINE.md per-stage table) even with Python's one-shot zlib — both are
+// C already, but libdeflate's non-streaming (de)compressor is measured
+// 2-3x faster than zlib on whole buffers, which is exactly our shape: the
+// reader holds the full compressed blob, the writer holds the full payload.
+// Guarded by __has_include so the codec still builds (without these two
+// symbols) on hosts without libdeflate-dev; native/__init__.py degrades to
+// the zlib path per-function.
+
+#if defined(__has_include) && !defined(SEG3D_DISABLE_LIBDEFLATE)
+#if __has_include(<libdeflate.h>)
+#include <libdeflate.h>
+
+extern "C" {
+
+// Worst-case gzip-compressed size for n payload bytes at `level` (1-12).
+size_t seg3d_gzip_bound(size_t n, int level) {
+    struct libdeflate_compressor* c = libdeflate_alloc_compressor(level);
+    if (!c) return 0;
+    size_t b = libdeflate_gzip_compress_bound(c, n);
+    libdeflate_free_compressor(c);
+    return b;
+}
+
+// One-shot gzip compression; returns the compressed size, or 0 on failure
+// (dst too small / alloc failure).
+size_t seg3d_gzip_compress(const uint8_t* src, size_t n, int level,
+                           uint8_t* dst, size_t cap) {
+    struct libdeflate_compressor* c = libdeflate_alloc_compressor(level);
+    if (!c) return 0;
+    size_t out = libdeflate_gzip_compress(c, src, n, dst, cap);
+    libdeflate_free_compressor(c);
+    return out;
+}
+
+// One-shot decompression of ONE gzip member. Returns 0 on success,
+// 1 if dst is too small (caller grows and retries), 2 on bad data.
+// *in_used reports the member's compressed length (multi-member streams:
+// the caller loops or falls back to zlib), *out_used the payload length.
+int seg3d_gunzip_member(const uint8_t* src, size_t n, uint8_t* dst,
+                        size_t cap, size_t* in_used, size_t* out_used) {
+    struct libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+    if (!d) return 2;
+    enum libdeflate_result r = libdeflate_gzip_decompress_ex(
+        d, src, n, dst, cap, in_used, out_used);
+    libdeflate_free_decompressor(d);
+    if (r == LIBDEFLATE_SUCCESS) return 0;
+    if (r == LIBDEFLATE_INSUFFICIENT_SPACE) return 1;
+    return 2;
+}
+
+}  // extern "C"
+
+#endif  // __has_include(<libdeflate.h>)
+#endif  // defined(__has_include) && !defined(SEG3D_DISABLE_LIBDEFLATE)
