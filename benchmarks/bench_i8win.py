@@ -24,13 +24,19 @@ from segmentation3d_tpu.ops.packed_conv import window_kernels_np
 from segmentation3d_tpu.ops.quant import (window_conv_packed_i8,
                                           quantize_weight_np)
 from segmentation3d_tpu.ops.pallas_i8win import (window_conv_i8_pallas,
-                                                 mid9_np, halo9_np)
+                                                 mid9_np, halo9_np,
+                                                 halo9_full_np)
 
-# (name, D, H, cols, P, cin) — the packed 512^3 slab sites with cin == cout
+# (name, D, H, cols, P, cin) — the REAL packed 512^3 slab res-conv sites
+# with cin == cout (from models/packed_vnet.py's registrations: encoder res
+# blocks at pick_p packing, decoder res blocks at the skip's packing ->
+# 256-lane tensors). The site's conv count in the net is in the name.
 SITES = [
-    ("L1 16ch", 64, 512, 64, 8, 16),
-    ("L2 32ch", 32, 256, 64, 4, 32),
-    ("L3 64ch", 16, 128, 64, 2, 64),
+    ("dn32 x2  [128l]", 32, 256, 64, 4, 32),
+    ("dn64 x3  [128l]", 16, 128, 64, 2, 64),
+    ("up128 x3 [256l]", 16, 128, 64, 2, 128),
+    ("up64 x2  [256l]", 32, 256, 64, 4, 64),
+    ("up32 x1  [256l]", 64, 512, 64, 8, 32),
 ]
 
 
@@ -52,8 +58,14 @@ def main():
         mid_i, wl_i, wr_i = (jnp.asarray(m.astype(np.int8))
                              for m in (mid, wl, wr))
         w9 = jnp.asarray(mid9_np(np.asarray(mid, np.int8)))
-        wl9 = jnp.asarray(halo9_np(np.asarray(wl, np.int8)))
-        wr9 = jnp.asarray(halo9_np(np.asarray(wr, np.int8)))
+        halos = {
+            "slice": (jnp.asarray(halo9_np(np.asarray(wl, np.int8))),
+                      jnp.asarray(halo9_np(np.asarray(wr, np.int8)))),
+            "full": (jnp.asarray(halo9_full_np(np.asarray(wl, np.int8),
+                                               P, "left")),
+                     jnp.asarray(halo9_full_np(np.asarray(wr, np.int8),
+                                               P, "right"))),
+        }
         scale = jnp.asarray(np.tile(ws * s_a, P).astype(np.float32))
         bias = jnp.asarray(rng.normal(0, 0.5, pc).astype(np.float32))
         x = jnp.asarray(rng.integers(-127, 128, (1, D, H, cols, pc)
@@ -70,15 +82,20 @@ def main():
                                 ).astype(jnp.int8)
             return jax.lax.fori_loop(0, args.iters, body, x)
 
-        @jax.jit
-        def pallas_chain(x):
-            def body(_, v):
-                return window_conv_i8_pallas(
-                    v, w9, wl9, wr9, scale, bias, P=P, cin=cin, cout=cin,
-                    act="relu", inv_sa=inv_sa, out_int8=True, ht=args.ht)
-            return jax.lax.fori_loop(0, args.iters, body, x)
+        def pallas_chain_for(wl9, wr9):
+            @jax.jit
+            def pallas_chain(x):
+                def body(_, v):
+                    return window_conv_i8_pallas(
+                        v, w9, wl9, wr9, scale, bias, P=P, cin=cin, cout=cin,
+                        act="relu", inv_sa=inv_sa, out_int8=True, ht=args.ht)
+                return jax.lax.fori_loop(0, args.iters, body, x)
+            return pallas_chain
 
-        for label, fn in (("xla", xla_chain), ("pallas", pallas_chain)):
+        runs = [("xla", xla_chain)] + [
+            (f"pl/{m}", pallas_chain_for(*halos[m])) for m in halos]
+        vox = D * H * cols * P
+        for label, fn in runs:
             try:
                 out = fn(x)
                 float(out[0, 0, 0, 0, 0])  # forced readback
@@ -89,30 +106,32 @@ def main():
                     float(out[0, 0, 0, 0, 0])
                     ts.append((time.perf_counter() - t0) / args.iters)
                 ms = min(ts) * 1e3
-                gvox = D * H * cols * P / 1e9
-                print(f"{name:10s} {label:7s} {ms:7.3f} ms/conv "
-                      f"({2 * 27 * gvox * cin * cin / (ms / 1e3) / 1e12:6.1f}"
-                      " TOPS dense)")
+                tops = 2 * 27 * vox * cin * cin / (ms / 1e3) / 1e12
+                print(f"{name:16s} {label:9s} {ms:7.3f} ms/conv "
+                      f"({tops:6.1f} TOPS dense)", flush=True)
             except Exception as e:
-                print(f"{name:10s} {label:7s} FAILED: {type(e).__name__}: "
-                      f"{str(e)[:300]}")
+                print(f"{name:16s} {label:9s} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
 
         # parity spot check on device (first conv only)
-        try:
-            a = window_conv_packed_i8(x, mid_i, wl_i, wr_i, P=P, cin=cin)
-            ya = jnp.clip(jnp.round((a.astype(jnp.float32)
-                                     * scale.reshape(1, 1, 1, 1, -1)
-                                     + bias.reshape(1, 1, 1, 1, -1)
-                                     ).clip(0.0) * inv_sa), -127, 127
-                          ).astype(jnp.int8)
-            yb = window_conv_i8_pallas(x, w9, wl9, wr9, scale, bias, P=P,
-                                       cin=cin, cout=cin, act="relu",
-                                       inv_sa=inv_sa, ht=args.ht)
-            diff = np.abs(np.asarray(ya, np.int32) - np.asarray(yb, np.int32))
-            print(f"{name:10s} parity: maxdiff {diff.max()} "
-                  f"agree {(diff == 0).mean():.6f}")
-        except Exception as e:
-            print(f"{name:10s} parity FAILED: {type(e).__name__}: {str(e)[:200]}")
+        a = window_conv_packed_i8(x, mid_i, wl_i, wr_i, P=P, cin=cin)
+        ya = jnp.clip(jnp.round((a.astype(jnp.float32)
+                                 * scale.reshape(1, 1, 1, 1, -1)
+                                 + bias.reshape(1, 1, 1, 1, -1)
+                                 ).clip(0.0) * inv_sa), -127, 127
+                      ).astype(jnp.int8)
+        for m, (wl9, wr9) in halos.items():
+            try:
+                yb = window_conv_i8_pallas(x, w9, wl9, wr9, scale, bias, P=P,
+                                           cin=cin, cout=cin, act="relu",
+                                           inv_sa=inv_sa, ht=args.ht)
+                diff = np.abs(np.asarray(ya, np.int32)
+                              - np.asarray(yb, np.int32))
+                print(f"{name:16s} parity/{m}: maxdiff {diff.max()} "
+                      f"agree {(diff == 0).mean():.6f}", flush=True)
+            except Exception as e:
+                print(f"{name:16s} parity/{m} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:160]}", flush=True)
 
 
 if __name__ == "__main__":

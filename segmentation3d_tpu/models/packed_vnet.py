@@ -78,7 +78,8 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
                          act_clip: float = 8.0,
                          calib: dict | None = None,
                          calib_margin: float = 1.2,
-                         stats: bool = False):
+                         stats: bool = False,
+                         pallas_halo: bool | None = None):
     """Returns ``(apply_fn, fused_vars)``; ``apply_fn(fused_vars, x)`` ==
     ``net.apply(variables, x, train=False)`` within bf16 tolerance.
 
@@ -141,6 +142,15 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
     if stats and q8:
         raise ValueError("stats=True measures the full-precision forward; "
                          "it cannot be combined with quant")
+    # round-4: int8 window-conv sites with cin == cout route through the
+    # Pallas in-kernel-halo kernel (ops/pallas_i8win.py) — the two narrow
+    # halo convs' full-spatial s32 materializations disappear (measured
+    # per-site: dn32 5.10 -> 3.31 ms/conv, headline A/B in BASELINE.md).
+    # Default: on for quant builds on TPU; pass pallas_halo=False to force
+    # the pure-XLA 3-conv decomposition.
+    if pallas_halo is None:
+        pallas_halo = q8 and jax.default_backend() == "tpu"
+    use_ph = bool(pallas_halo) and q8 and jax.default_backend() != "cpu"
     p = variables["params"]
     s = variables["batch_stats"]
     act_kind = net.act
@@ -231,9 +241,17 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
             w = wq
         if P > 1:
             mid, wl, wr = window_kernels_np(w, P)
-            fv[key] = {"mid": mid, "left": wl, "right": wr,
-                       "b": np.tile(b, P)}
-            m["route"] = "window"
+            if q and use_ph and cin == cout:
+                from segmentation3d_tpu.ops.pallas_i8win import (
+                    mid9_np, halo9_np)
+                fv[key] = {"w9": mid9_np(mid), "wl9": halo9_np(wl),
+                           "wr9": halo9_np(wr), "b": np.tile(b, P),
+                           "al": np.full(P * cout, m["alpha"], np.float32)}
+                m["route"] = "pallas_win"
+            else:
+                fv[key] = {"mid": mid, "left": wl, "right": wr,
+                           "b": np.tile(b, P)}
+                m["route"] = "window"
         else:
             fv[key] = {"w": w, "b": b}
             m["route"] = "direct"
@@ -345,6 +363,20 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
         fusion). ``st``: stats collector (full-precision builds)."""
         m = meta[key]
         if m.get("q"):
+            if m["route"] == "pallas_win":
+                # ONE kernel: mid + halo GEMMs + dequant/bias/act/requant on
+                # the resident VMEM tile — no halo s32 ever hits HBM
+                from segmentation3d_tpu.ops.pallas_i8win import (
+                    window_conv_i8_pallas)
+                y = window_conv_i8_pallas(
+                    xp, v["w9"], v["wl9"], v["wr9"], v["s"], v["b"], v["al"],
+                    P=m["P"], cin=m["cin"], cout=m["cout"], act=act_kind,
+                    inv_sa=m["inv_out"], out_int8=(out == "int8"))
+                if out == "int8":
+                    return y
+                # "raw": bf16 activation — meets the f32 identity add by
+                # promotion (noise well below the int8 quantization step)
+                return y if out == "raw" else y.astype(dtype)
             if m["route"] == "window":
                 # NOTE (round-3 counter-result): do NOT pass deq_scale here.
                 # XLA already fuses the ENTIRE dequant+bias+act+requant

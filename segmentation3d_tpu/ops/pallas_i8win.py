@@ -59,8 +59,25 @@ def halo9_np(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(w.reshape(9, cin, cout))
 
 
+def halo9_full_np(w: np.ndarray, P: int, side: str) -> np.ndarray:
+    """[3,3,1,cin,cout] halo kernel -> full-K [9, P*cin, cout] with the
+    taps embedded at the lane block the shifted row actually carries
+    (left halo reads lanes (P-1)*cin:, right halo lanes :cin; the other
+    rows are zero). Lets the kernel run the halo GEMM on the UNSLICED
+    shifted rows — Mosaic rejects the lane-sliced int8 load at some
+    geometries (cin=64 measured), and zero-K rows cost MXU flops but no
+    memory traffic."""
+    kd, kh, kw, cin, cout = w.shape
+    assert (kd, kh, kw) == (3, 3, 1) and side in ("left", "right")
+    full = np.zeros((9, P * cin, cout), w.dtype)
+    o = (P - 1) * cin if side == "left" else 0
+    full[:, o:o + cin, :] = w.reshape(9, cin, cout)
+    return full
+
+
 def _kernel(xm, xc, xp_, w9, wl, wr, scale, bias, alpha, out_ref, *,
-            rows, cols, cin, cout, pc, act, inv_sa, out_int8, top):
+            rows, cols, cin, cout, pc, act, inv_sa, out_int8, top,
+            halo_full):
     """One (b, z, y-tile) program. xm/xc/xp_ are the z-1/z/z+1 planes of the
     row-padded volume, [1, tile_rows, pc] int8; out [1, rows, pc]."""
     acc = jnp.zeros((rows, pc), jnp.int32)
@@ -68,8 +85,20 @@ def _kernel(xm, xc, xp_, w9, wl, wr, scale, bias, alpha, out_ref, *,
     accr = jnp.zeros((rows, cout), jnp.int32)
     planes = (xm, xc, xp_)
     base = top - cols  # tap dy reads rows base + dy*cols + o (dy-1 centred)
+    span = rows + 2 * cols
     for dz in range(3):
         x = planes[dz]
+        # ONE sublane-unaligned load per side per plane covering all three
+        # dy offsets (loads at ±1 force a sublane rotation of the whole
+        # tile on the int8 (32, 128) tiling — 18 of them dominated the
+        # kernel; these 6 thin loads replace them, and the per-dy slices
+        # below are slices of an already-resident value)
+        if halo_full:  # unsliced lanes x zero-embedded full-K kernels
+            thin_l = x[0, pl.ds(base - 1, span), :]
+            thin_r = x[0, pl.ds(base + 1, span), :]
+        else:
+            thin_l = x[0, pl.ds(base - 1, span), (pc - cin):]
+            thin_r = x[0, pl.ds(base + 1, span), :cin]
         for dy in range(3):
             t = dz * 3 + dy
             a = x[0, pl.ds(base + dy * cols, rows), :]
@@ -77,14 +106,12 @@ def _kernel(xm, xc, xp_, w9, wl, wr, scale, bias, alpha, out_ref, *,
                 a, w9[t], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
             # x halos: packed col q∓1 = row r∓1 in the flattened layout
-            al = x[0, pl.ds(base + dy * cols - 1, rows), (pc - cin):]
             accl += jax.lax.dot_general(
-                al, wl[t], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            ar = x[0, pl.ds(base + dy * cols + 1, rows), :cin]
+                thin_l[dy * cols:dy * cols + rows], wl[t],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
             accr += jax.lax.dot_general(
-                ar, wr[t], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
+                thin_r[dy * cols:dy * cols + rows], wr[t],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
 
     # x-edge masks (SAME padding): the shifted row at q==0 belongs to the
     # previous y (wrap) — its left-halo sum must be zero; ditto q==cols-1
@@ -96,7 +123,9 @@ def _kernel(xm, xc, xp_, w9, wl, wr, scale, bias, alpha, out_ref, *,
         q > 0, accl.astype(jnp.float32) * sc[:cout], 0.0)
     vr = v[:, pc - cout:] + jnp.where(
         q < cols - 1, accr.astype(jnp.float32) * sc[pc - cout:], 0.0)
-    v = jnp.concatenate([vl, v[:, cout:pc - cout], vr], axis=1)
+    # P == 2 has no middle blocks — Mosaic rejects the empty slice
+    mid_blocks = [v[:, cout:pc - cout]] if pc > 2 * cout else []
+    v = jnp.concatenate([vl] + mid_blocks + [vr], axis=1)
     if act == "relu":
         v = jnp.maximum(v, 0.0)
     elif act == "prelu":
@@ -115,8 +144,11 @@ def window_conv_i8_pallas(xp, w9, wl9, wr9, scale, bias, alpha=None, *,
                           inv_sa: float, out_int8: bool = True,
                           ht: int | None = None, interpret: bool = False):
     """Fused int8 window conv + epilogue. ``xp`` int8 [B, D, H, cols, PC];
-    ``w9`` [9, PC, PC] int8 (:func:`mid9_np`), ``wl9``/``wr9`` [9, cin,
-    cout] int8; ``scale`` f32 [PC] per-lane dequant, ``bias`` f32 [PC],
+    ``w9`` [9, PC, PC] int8 (:func:`mid9_np`), ``wl9``/``wr9`` int8 halo
+    kernels — NARROW [9, cin, cout] (:func:`halo9_np`, lane-sliced loads)
+    or FULL-K [9, PC, cout] (:func:`halo9_full_np`, unsliced loads —
+    required where Mosaic rejects the lane-sliced int8 load; measured
+    cin=64); ``scale`` f32 [PC] per-lane dequant, ``bias`` f32 [PC],
     ``alpha`` f32 [PC] (prelu). Returns int8 (requantized at ``1/inv_sa``)
     or bf16 [B, D, H, cols, PC].
     """
@@ -124,11 +156,20 @@ def window_conv_i8_pallas(xp, w9, wl9, wr9, scale, bias, alpha=None, *,
     assert cin == cout, "in-kernel halo supports the cin == cout res sites"
     assert pc == P * cin and w9.shape == (9, pc, pc), (xp.shape, w9.shape)
     assert P >= 2, "P==1 has no packed halo; use the plain conv"
+    halo_full = wl9.shape[1] == pc
+    assert wl9.shape == wr9.shape == ((9, pc, cout) if halo_full
+                                      else (9, cin, cout)), wl9.shape
     rows_all = H * cols
     # int8 sublane tile is 32: top pad = cols + 32 keeps every in-kernel
     # row offset >= 31 and tile starts 32-aligned when cols % 32 == 0
     top = cols + 32
-    Ht = min(ht or 64, H)
+    if ht is None:
+        # VMEM budget: ~16 bytes/row/lane across the 3 double-buffered int8
+        # plane tiles, the i32+f32 accumulators and the output — pc=256
+        # decoder sites at Ht=64 overflow the ~16 MB VMEM (measured: the
+        # Mosaic compile crashes), Ht=32 fits
+        ht = max(8, min(64, ((8 << 20) // (16 * pc)) // cols))
+    Ht = min(ht, H)
     nH = -(-H // Ht)
     Hp = nH * Ht
     rows_t = Ht * cols
@@ -150,7 +191,8 @@ def window_conv_i8_pallas(xp, w9, wl9, wr9, scale, bias, alpha=None, *,
         alpha = jnp.zeros((pc,), jnp.float32)
     kern = functools.partial(
         _kernel, rows=rows_t, cols=cols, cin=cin, cout=cout, pc=pc,
-        act=act, inv_sa=inv_sa, out_int8=out_int8, top=top)
+        act=act, inv_sa=inv_sa, out_int8=out_int8, top=top,
+        halo_full=halo_full)
 
     def plane_spec(k):
         return pl.BlockSpec(

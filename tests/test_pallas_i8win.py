@@ -58,3 +58,21 @@ def test_parity_y_tiled():
         jnp.asarray(halo9_np(wr)), scale, bias, alpha, P=P, cin=cin,
         cout=cin, act="relu", inv_sa=127.0 / 8.0, interpret=True, ht=4))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_parity_full_k_halo_mode():
+    """halo9_full_np (unsliced full-K halo GEMMs) is bit-identical to the
+    lane-sliced narrow mode."""
+    from segmentation3d_tpu.ops.pallas_i8win import halo9_full_np
+    P, cin = 4, 4
+    x, mid, wl, wr, scale, bias, alpha = _setup(P, cin, 3, 8, 6, seed=7)
+    kw = dict(P=P, cin=cin, cout=cin, act="relu", inv_sa=127.0 / 8.0,
+              interpret=True)
+    a = np.asarray(window_conv_i8_pallas(
+        x, jnp.asarray(mid9_np(mid)), jnp.asarray(halo9_np(wl)),
+        jnp.asarray(halo9_np(wr)), scale, bias, alpha, **kw))
+    b = np.asarray(window_conv_i8_pallas(
+        x, jnp.asarray(mid9_np(mid)),
+        jnp.asarray(halo9_full_np(wl, P, "left")),
+        jnp.asarray(halo9_full_np(wr, P, "right")), scale, bias, alpha, **kw))
+    np.testing.assert_array_equal(a, b)
