@@ -142,14 +142,20 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
     if stats and q8:
         raise ValueError("stats=True measures the full-precision forward; "
                          "it cannot be combined with quant")
-    # round-4: int8 window-conv sites with cin == cout route through the
-    # Pallas in-kernel-halo kernel (ops/pallas_i8win.py) — the two narrow
-    # halo convs' full-spatial s32 materializations disappear (measured
-    # per-site: dn32 5.10 -> 3.31 ms/conv, headline A/B in BASELINE.md).
-    # Default: on for quant builds on TPU; pass pallas_halo=False to force
-    # the pure-XLA 3-conv decomposition.
+    # round-4: optional routing of int8 cin==cout window sites through the
+    # Pallas in-kernel-halo kernel (ops/pallas_i8win.py). ISOLATED per-site
+    # chains win at every geometry (dn32 5.07 -> 3.65 ms/conv, up32 23.1 ->
+    # 19.7 — bench_i8win.py, exact parity), but IN-NET the 512^3 headline
+    # measured 98 -> 37 volumes/min with every site routed: the kernel's
+    # host-side pad + overlapping-row gather add ~2 full-tensor copies per
+    # conv, and inside the big slab program (live skip buffers + blend
+    # accumulators) that pushes XLA into a far worse schedule. Default OFF
+    # (counter-result recorded in BASELINE.md); opt in per build with
+    # pallas_halo=True or SEG3D_PALLAS_HALO=1 for kernel work.
     if pallas_halo is None:
-        pallas_halo = q8 and jax.default_backend() == "tpu"
+        import os as _os
+        pallas_halo = (q8 and jax.default_backend() == "tpu"
+                       and _os.environ.get("SEG3D_PALLAS_HALO", "0") == "1")
     use_ph = bool(pallas_halo) and q8 and jax.default_backend() != "cpu"
     p = variables["params"]
     s = variables["batch_stats"]
