@@ -67,7 +67,7 @@ def fold_bn(w, b, scale, bias, mean, var, eps: float = 1e-5):
 
 def _conv_kernel(p0_ref, p1_ref, p2_ref, wc_ref, wl_ref, wr_ref, b_ref,
                  out_ref, *, H, Wb, L, cin, cout, act, alpha,
-                 residual="none", res_alpha=0.25):
+                 residual="none", res_alpha=0.25, quant_inv_sa=None):
     """v3 plane kernel — no prebuilt windows.
 
     p{0,1,2}: z-1/z/z+1 packed plane TILES [1, 8 + Wb + H*Wb + Wb + 8,
@@ -123,6 +123,11 @@ def _conv_kernel(p0_ref, p1_ref, p2_ref, wc_ref, wl_ref, wr_ref, b_ref,
             acc = jnp.maximum(acc, 0.0)
         elif residual == "prelu":
             acc = jnp.where(acc >= 0, acc, res_alpha * acc)
+    if quant_inv_sa is not None:
+        # int8 requant epilogue (the quantized forward's static activation
+        # scale) fused in-kernel — the XLA route pays a standalone
+        # clamp_convert pass over the full-size activation otherwise
+        acc = jnp.clip(jnp.round(acc * quant_inv_sa), -127, 127)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
@@ -147,11 +152,13 @@ def _pick_ht(H, Wp, cin_p, cout_p, budget=10_000_000):
 
 @functools.partial(jax.jit,
                    static_argnames=("act", "out_dtype", "L", "interpret", "ht",
-                                    "residual", "alpha", "res_alpha"))
+                                    "residual", "alpha", "res_alpha",
+                                    "quant_inv_sa"))
 def thin_conv3d(x, w, b=None, act: str = "none", alpha: float = 0.25,
                 out_dtype=jnp.bfloat16, L: int | None = None,
                 interpret: bool = False, ht: int | None = None,
-                residual: str = "none", res_alpha: float = 0.25):
+                residual: str = "none", res_alpha: float = 0.25,
+                quant_inv_sa: float | None = None):
     """Stride-1 SAME 3x3x3 conv via the lane-packed Pallas kernel.
 
     ``x``: [B, D, H, W, Cin] (bf16/f32); ``w``: [3,3,3,Cin,Cout];
@@ -201,7 +208,8 @@ def thin_conv3d(x, w, b=None, act: str = "none", alpha: float = 0.25,
             zs, ze = max(0, z0 - 1), min(D, z1 + 1)
             sub = thin_conv3d(x[:, zs:ze], w, b, act=act, alpha=alpha,
                               out_dtype=out_dtype, L=L, interpret=interpret,
-                              ht=ht, residual=residual, res_alpha=res_alpha)
+                              ht=ht, residual=residual, res_alpha=res_alpha,
+                              quant_inv_sa=quant_inv_sa)
             parts.append(sub[:, z0 - zs: z0 - zs + (z1 - z0)])
         return jnp.concatenate(parts, axis=1)
     xq = x.astype(jnp.bfloat16)
@@ -237,9 +245,12 @@ def thin_conv3d(x, w, b=None, act: str = "none", alpha: float = 0.25,
     bvec = jnp.pad(bvec, (0, cout_p - cout))
     bfull = jnp.tile(bvec, (L,)).reshape(1, L * cout_p)
 
+    if quant_inv_sa is not None:
+        out_dtype = jnp.int8
     kern = functools.partial(
         _conv_kernel, H=Ht, Wb=Wb, L=L, cin=cin_p, cout=cout_p, act=act,
-        alpha=alpha, residual=residual, res_alpha=res_alpha)
+        alpha=alpha, residual=residual, res_alpha=res_alpha,
+        quant_inv_sa=quant_inv_sa)
 
     # grid over flat (b, z, y-tile); three plane specs (z-1, z, z+1 of the
     # z-padded volume) give Mosaic's automatic pipeline the halo without

@@ -189,3 +189,75 @@ def test_cli_flags(c2f_model):
     with pytest.raises(SystemExit):
         main(["-i", cases[1][0][0], "-m", save_dir, "--fine_model", save_dir,
               "-o", out, "--checkpoint", "best"])
+
+
+def test_empty_roi_writes_background_mask_and_probs(tmp_path):
+    """A coarse pass that finds NO foreground still produces a full-size
+    background mask (and class-0=1 prob maps) instead of failing — the
+    deferred write path included."""
+    import jax.numpy as jnp
+    from segmentation3d_tpu.core.coarse_to_fine import (
+        segment_case_coarse_to_fine)
+    from segmentation3d_tpu.core.seg_infer import SegModel
+    from segmentation3d_tpu.io import Volume, write_image
+    from segmentation3d_tpu.ops.geometry import Frame
+
+    class _BgNet:
+        """Duck net: always predicts background."""
+        def __init__(self):
+            self.out_channels = 2
+
+        def apply(self, variables, x, train=False):
+            import jax
+            cls = jnp.zeros(x.shape[:-1], jnp.int32)
+            return jax.nn.one_hot(cls, 2, dtype=jnp.float32)
+
+    net = _BgNet()
+    m = SegModel(net=net, variables={}, spacing=[1.0, 1.0, 1.0],
+                 max_stride=16, interpolation="LINEAR", normalizers=[None],
+                 in_channels=1, out_channels=2, net_name="duck", epoch_idx=0)
+    img = np.zeros((24, 24, 24), np.float32)
+    p = str(tmp_path / "c.nii.gz")
+    write_image(Volume(img, Frame.identity()), p)
+    mask_vol, prob_out, native, secs, roi = segment_case_coarse_to_fine(
+        m, [m], [p], {}, [None], (16, 16, 16), defer_host=True,
+        save_prob=True)
+    assert roi is None
+    mv = mask_vol.materialize()
+    assert mv.data.shape == (24, 24, 24) and mv.data.max() == 0
+    probs = {c: v.materialize().data for c, v in prob_out}
+    np.testing.assert_allclose(probs[0], 1.0)
+    np.testing.assert_allclose(probs[1], 0.0)
+
+
+def test_c2f_multimodality(tmp_path):
+    """Two-modality case through the production c2f driver (packed uploads
+    resample BOTH modalities onto each pass's grid)."""
+    from segmentation3d_tpu.core.coarse_to_fine import segmentation_coarse_to_fine
+    from segmentation3d_tpu.core.seg_train import train
+    from segmentation3d_tpu.io import read_image
+    data = tmp_path / "data"
+    cases = [make_sphere_case(str(data), f"m{i}", shape_zyx=(32, 32, 32),
+                              seed=i, num_modality=2) for i in range(2)]
+    lst = make_train_list(str(tmp_path / "train.txt"), cases)
+    model = str(tmp_path / "model")
+    cfg = write_train_config(str(tmp_path / "cfg.py"), lst, model,
+                             num_modality=2, crop_size=(32, 32, 32),
+                             epochs=50, batchsize=2, lr=3e-3, save_epochs=50,
+                             sampling_method="CENTER",
+                             extra="__C.net.base_channels = 4\n")
+    train(cfg)
+    test_txt = str(tmp_path / "test.txt")
+    with open(test_txt, "w") as f:
+        f.write("1\n" + "\n".join(cases[0][0]) + "\n")
+    out = str(tmp_path / "out")
+    results = segmentation_coarse_to_fine(
+        test_txt, model, model, out, seg_name="seg.nii.gz",
+        partition_size=(32, 32, 32), batch_size=1, margin_mm=8.0)
+    assert len(results) == 1
+    pred = read_image(os.path.join(out, results[0][0], "seg.nii.gz"))
+    truth = read_image(cases[0][1])
+    # tiny 4-channel net on 2 cases: the bar checks the two-modality
+    # pipeline is wired (both modalities resampled onto both pass grids),
+    # not model quality
+    assert _dice(pred.data, truth.data) >= 0.7
