@@ -19,6 +19,16 @@ import jax.numpy as jnp
 from segmentation3d_tpu.core.seg_infer import segmentation, DISABLE
 
 
+def post_processing_from_args(args):
+    """``--post``/``--post_threshold`` -> the post_processing dict the
+    drivers consume (shared with seg_serve)."""
+    if args.post == "largest_cc":
+        return {"type": "largest_cc"}
+    if args.post == "remove_small_cc":
+        return {"type": "remove_small_cc", "threshold": args.post_threshold}
+    return None
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="3D segmentation inference")
     parser.add_argument("-i", "--input", required=True,
@@ -95,12 +105,13 @@ def main(argv=None):
                              "model(s) ('latest'/'best'/epoch)")
     args = parser.parse_args(argv)
 
-    post = None
-    if args.post == "largest_cc":
-        post = {"type": "largest_cc"}
-    elif args.post == "remove_small_cc":
-        post = {"type": "remove_small_cc", "threshold": args.post_threshold}
+    post = post_processing_from_args(args)
 
+    if not args.fine_model and (args.coarse_checkpoint or args.fine_checkpoint):
+        raise SystemExit(
+            "--coarse_checkpoint/--fine_checkpoint apply to the "
+            "coarse-to-fine pipeline (--fine_model); for single-model "
+            "inference use --checkpoint")
     if args.fine_model:
         if args.checkpoint:
             raise SystemExit(

@@ -83,11 +83,8 @@ def main(argv=None):
     quant = "int8" if args.int8 else None
     calib = args.int8_calib.split(",") if args.int8_calib else None
 
-    post = None
-    if args.post == "largest_cc":
-        post = {"type": "largest_cc"}
-    elif args.post == "remove_small_cc":
-        post = {"type": "remove_small_cc", "threshold": args.post_threshold}
+    from segmentation3d_tpu.cli.seg_infer import post_processing_from_args
+    post = post_processing_from_args(args)
 
     if args.fine_model:
         if args.checkpoint:
@@ -98,6 +95,9 @@ def main(argv=None):
         if len(args.model) > 1:
             parser.error("coarse ensembles (-m repeated) are not supported "
                          "with --fine_model")
+        if args.spatial_shard:
+            parser.error("--spatial_shard applies to SLAB partitioning, not "
+                         "the coarse-to-fine pipeline")
         from segmentation3d_tpu.core.coarse_to_fine import (
             segmentation_coarse_to_fine)
 

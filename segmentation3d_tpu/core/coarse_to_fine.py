@@ -38,6 +38,7 @@ the eager f32 host path it launched with:
 """
 from __future__ import annotations
 
+import functools as _functools
 import os
 import time
 
@@ -49,8 +50,8 @@ from segmentation3d_tpu.core.infer_engine import SlidingWindowInferer
 from segmentation3d_tpu.core.seg_infer import (
     SegModel, load_seg_model, find_cases, IMAGE_EXTS,
     _ReadAhead, _WriteBehind, _DeferredVolume, _prep_modality, _post_mask,
-    _post_prob, _ens_add, _ens_finalize, _process_slice,
-    _check_ensemble_contract,
+    _ens_add, _ens_finalize, _process_slice, _check_ensemble_contract,
+    _announce_no_cases,
 )
 from segmentation3d_tpu.io import Volume, read_image, write_image
 from segmentation3d_tpu.ops.components import (
@@ -58,9 +59,23 @@ from segmentation3d_tpu.ops.components import (
 )
 from segmentation3d_tpu.ops.geometry import Frame, resampled_frame
 from segmentation3d_tpu.ops.mask_pack import unpack_mask
-from segmentation3d_tpu.ops.resample import resample_plan
+from segmentation3d_tpu.ops.resample import resample_plan, resample_exec
 from segmentation3d_tpu.utils import model_io
 from segmentation3d_tpu.utils.normalizer import AdaptiveNormalizer
+
+
+@_functools.partial(_jax.jit, static_argnames=("kind", "out_shape"))
+def _post_prob_roi(prob, coeffs, *, kind, out_shape):
+    """Resample fine-ROI class probabilities to the native grid with
+    BACKGROUND = 1 outside the ROI: class 0 resamples as (p0 - 1) with
+    fill 0 and adds the 1 back, so out-of-ROI voxels read [1, 0, ...]
+    (a valid distribution, consistent with the empty-ROI branch) instead
+    of all-zeros. ROI-boundary voxels blend toward background — the same
+    blend the mask's NN paste approximates."""
+    shifted = prob.at[..., 0].add(-1.0)
+    out = resample_exec(shifted, kind, coeffs, out_shape,
+                        out_dtype=jnp.float16)
+    return out.at[..., 0].add(jnp.asarray(1.0, jnp.float16))
 
 
 @_jax.jit
@@ -264,10 +279,10 @@ def segment_case_coarse_to_fine(
 
     prob_out = None
     if save_prob:
-        # voxels outside the ROI resample from fill (0.0 for every class) —
-        # the maps are exact inside the ROI, where the fine model ran
-        prob_native = _post_prob(prob, jnp.asarray(back_coeffs),
-                                 kind=back_kind, out_shape=back_shape)
+        # exact inside the ROI (where the fine model ran); outside, class 0
+        # reads 1.0 and foreground classes 0.0 (see _post_prob_roi)
+        prob_native = _post_prob_roi(prob, jnp.asarray(back_coeffs),
+                                     kind=back_kind, out_shape=back_shape)
         host_cache = {}
 
         def prob_host():
@@ -456,12 +471,7 @@ def segmentation_coarse_to_fine(
     cases = _process_slice(cases)  # multi-host round-robin (seg_infer P2)
     os.makedirs(output_dir, exist_ok=True)
     if not cases:
-        if n_global:
-            print(f"note: empty case slice on process "
-                  f"{jax.process_index()}/{jax.process_count()} "
-                  f"({n_global} case(s) assigned to other processes)")
-        else:
-            print(f"warning: no cases found at {input_path}")
+        _announce_no_cases(n_global, input_path)
         return []
 
     results = []

@@ -729,15 +729,7 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     cases = _process_slice(cases)
     os.makedirs(output_dir, exist_ok=True)
     if not cases:
-        if n_global:
-            # more hosts than cases: the global list was non-empty, this
-            # process just drew an empty round-robin slice — not a data error
-            import jax as _j
-            print(f"note: empty case slice on process "
-                  f"{_j.process_index()}/{_j.process_count()} "
-                  f"({n_global} case(s) assigned to other processes)")
-        else:
-            print(f"warning: no cases found at {input_path}")
+        _announce_no_cases(n_global, input_path)
         return []
 
     inferers = sess["inferers"]
@@ -761,6 +753,19 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     if failures and not results:
         raise failures[0][1]  # everything failed: not a per-case hiccup
     return results
+
+
+def _announce_no_cases(n_global, input_path):
+    """Report an empty case slice: under multi-host the global list may be
+    non-empty with every case assigned to OTHER processes (more hosts than
+    cases) — not a data error, and not 'no cases found'."""
+    if n_global:
+        import jax
+        print(f"note: empty case slice on process "
+              f"{jax.process_index()}/{jax.process_count()} "
+              f"({n_global} case(s) assigned to other processes)")
+    else:
+        print(f"warning: no cases found at {input_path}")
 
 
 def _process_slice(cases, process_index=None, process_count=None):

@@ -149,12 +149,17 @@ def serve_forever(server: SegmentationServer, socket_path: str | None = None,
         while running:
             conn, _ = srv.accept()
             with conn:
-                conn.settimeout(idle_timeout)
+                # <= 0 means NO timeout (settimeout(0) would mean
+                # non-blocking, which drops every client immediately)
+                conn.settimeout(idle_timeout if idle_timeout
+                                and idle_timeout > 0 else None)
                 rf = conn.makefile("rb")
                 wf = conn.makefile("w", encoding="utf-8")
                 while True:
                     try:
-                        raw = rf.readline(max_request_bytes + 1)
+                        # +2: the cap must admit a payload of EXACTLY
+                        # max_request_bytes plus its newline
+                        raw = rf.readline(max_request_bytes + 2)
                     except (TimeoutError, socket.timeout, OSError):
                         if log:
                             log("seg_serve: dropping idle connection "
@@ -162,7 +167,7 @@ def serve_forever(server: SegmentationServer, socket_path: str | None = None,
                         break
                     if not raw:
                         break  # client closed
-                    if len(raw) > max_request_bytes:
+                    if len(raw.rstrip(b"\n")) > max_request_bytes:
                         resp, keep = {"ok": False, "error":
                                       f"request exceeds {max_request_bytes} "
                                       "bytes"}, True

@@ -75,25 +75,29 @@ def _fused_builder(net, variables, patch, num_classes, state, version):
         return build_fused_forward(net, variables, dtype=net.dtype)
 
     b = state.get(bkey)
-    try:
-        if b is None:
+    if b is None:
+        # only the FIRST build may fail gracefully (architecture without a
+        # fused form -> permanent plain-net fallback for this route)
+        try:
             apply_fn, fvars = build()
             b = {"apply_fn": apply_fn,
                  "tree": jax.tree_util.tree_structure(fvars),
                  "vars": jax.device_put(fvars), "version": version}
-            state[bkey] = b
-        elif b["version"] != version:
-            # new save point: re-fold the live params, keep the traced
-            # apply_fn (same program); guard against a structure change
-            _, fvars = build()
-            if jax.tree_util.tree_structure(fvars) != b["tree"]:
-                b["apply_fn"] = build()[0]
-                b["tree"] = jax.tree_util.tree_structure(fvars)
-            b["vars"] = jax.device_put(fvars)
-            b["version"] = version
-    except (NotImplementedError, KeyError, AssertionError):
-        state[bkey] = b = {"apply_fn": None, "tree": None, "vars": None,
-                           "version": version}
+        except (NotImplementedError, KeyError, AssertionError):
+            b = {"apply_fn": None, "tree": None, "vars": None,
+                 "version": version}
+        state[bkey] = b
+    elif b["apply_fn"] is not None and b["version"] != version:
+        # new save point: re-fold the live params, keep the traced apply_fn
+        # (same compiled program). A failure HERE is not a capability gap —
+        # the same build succeeded before — so it propagates rather than
+        # silently scoring the previous save point's weights.
+        _, fvars = build()
+        if jax.tree_util.tree_structure(fvars) != b["tree"]:
+            b["apply_fn"] = build()[0]
+            b["tree"] = jax.tree_util.tree_structure(fvars)
+        b["vars"] = jax.device_put(fvars)
+        b["version"] = version
     return bkey, b["apply_fn"], b["vars"]
 
 

@@ -241,9 +241,12 @@ def gunzip(raw: bytes) -> bytes | None:
             if rc == 1 and cap < (1 << 34):
                 cap *= 4
                 continue
-            if members:
-                # trailing garbage/padding after decoded member(s): return
-                # what decoded, like the zlib fallback's not-eof break
+            if members and not src[off:].any():
+                # trailing ZERO padding after decoded member(s) (block-
+                # aligned archives): done. Non-zero trailing garbage could
+                # be a CORRUPT further member — return None so the caller's
+                # zlib path diagnoses it loudly instead of a silent
+                # truncated payload.
                 off = n
                 break
             return None  # bad data / absurd size: let zlib diagnose

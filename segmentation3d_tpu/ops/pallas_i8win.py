@@ -64,9 +64,11 @@ def halo9_full_np(w: np.ndarray, P: int, side: str) -> np.ndarray:
     taps embedded at the lane block the shifted row actually carries
     (left halo reads lanes (P-1)*cin:, right halo lanes :cin; the other
     rows are zero). Lets the kernel run the halo GEMM on the UNSLICED
-    shifted rows — Mosaic rejects the lane-sliced int8 load at some
-    geometries (cin=64 measured), and zero-K rows cost MXU flops but no
-    memory traffic."""
+    shifted rows. Measured (bench_i8win.py): the narrow lane-sliced mode
+    compiles AND wins at every real site geometry (the one Mosaic
+    'Invalid type' failure was the P==2 empty middle-slice concat, since
+    fixed), and this full-K form is 5-15% slower — kept as a tested
+    fallback for future Mosaic versions, not used in production builds."""
     kd, kh, kw, cin, cout = w.shape
     assert (kd, kh, kw) == (3, 3, 1) and side in ("left", "right")
     full = np.zeros((9, P * cin, cout), w.dtype)
@@ -145,10 +147,10 @@ def window_conv_i8_pallas(xp, w9, wl9, wr9, scale, bias, alpha=None, *,
                           ht: int | None = None, interpret: bool = False):
     """Fused int8 window conv + epilogue. ``xp`` int8 [B, D, H, cols, PC];
     ``w9`` [9, PC, PC] int8 (:func:`mid9_np`), ``wl9``/``wr9`` int8 halo
-    kernels — NARROW [9, cin, cout] (:func:`halo9_np`, lane-sliced loads)
-    or FULL-K [9, PC, cout] (:func:`halo9_full_np`, unsliced loads —
-    required where Mosaic rejects the lane-sliced int8 load; measured
-    cin=64); ``scale`` f32 [PC] per-lane dequant, ``bias`` f32 [PC],
+    kernels — NARROW [9, cin, cout] (:func:`halo9_np`, lane-sliced loads;
+    the production mode, fastest at every measured geometry) or FULL-K
+    [9, PC, cout] (:func:`halo9_full_np`, unsliced-load fallback);
+    ``scale`` f32 [PC] per-lane dequant, ``bias`` f32 [PC],
     ``alpha`` f32 [PC] (prelu). Returns int8 (requantized at ``1/inv_sa``)
     or bf16 [B, D, H, cols, PC].
     """

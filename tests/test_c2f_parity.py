@@ -82,6 +82,10 @@ def test_save_prob_and_post_processing(c2f_model):
     assert float(p1[truth.data > 0].mean()) > 0.6
     p0 = read_image(os.path.join(case_dir, "prob_0.mha")).data
     assert float(p0[truth.data > 0].mean()) < 0.4
+    # OUTSIDE the ROI the distribution must read background=1 (consistent
+    # with the empty-ROI branch), not the resampler's all-zero fill
+    assert abs(float(p0[0, 0, 0]) - 1.0) < 1e-2
+    assert float(p1[0, 0, 0]) < 1e-2
 
 
 def test_fine_ensemble_matches_single(c2f_model):
@@ -261,3 +265,15 @@ def test_c2f_multimodality(tmp_path):
     # pipeline is wired (both modalities resampled onto both pass grids),
     # not model quality
     assert _dice(pred.data, truth.data) >= 0.7
+
+
+def test_cli_c2f_checkpoint_flags_require_fine_model(tmp_path):
+    """--coarse_checkpoint/--fine_checkpoint without --fine_model error out
+    instead of being silently ignored (the flat driver uses --checkpoint)."""
+    from segmentation3d_tpu.cli.seg_infer import main
+    with pytest.raises(SystemExit, match="fine_model"):
+        main(["-i", "x.nii.gz", "-m", "m", "-o", str(tmp_path),
+              "--fine_checkpoint", "best"])
+    with pytest.raises(SystemExit, match="fine_model"):
+        main(["-i", "x.nii.gz", "-m", "m", "-o", str(tmp_path),
+              "--coarse_checkpoint", "3"])

@@ -135,3 +135,20 @@ def test_nifti_gz_write_read_uses_native_path(tmp_path):
     gzip.decompress(raw)                             # python can read it
     back = read_image(p)
     np.testing.assert_array_equal(back.data, data)
+
+
+def test_gunzip_corrupt_second_member_falls_back():
+    """A corrupt non-final member must return None (so the caller's zlib
+    path raises loudly) — never a silently truncated payload; zero padding
+    after valid members stays accepted."""
+    import gzip
+    from segmentation3d_tpu import native
+    if not getattr(native.get_lib(), "_seg3d_has_gzip", False):
+        import pytest
+        pytest.skip("codec built without libdeflate")
+    a, b = b"x" * 1000, b"y" * 1000
+    blob = gzip.compress(a) + gzip.compress(b)
+    assert native.gunzip(blob) == a + b
+    corrupt = gzip.compress(a) + b"\x1f\x8b" + b"\xde\xad" * 20
+    assert native.gunzip(corrupt) is None
+    assert native.gunzip(gzip.compress(a) + b"\x00" * 32) == a

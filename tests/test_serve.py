@@ -269,3 +269,49 @@ def test_cli_wiring():
     # exactly one of --socket/--port is enforced
     with pytest.raises(SystemExit):
         main(["-m", "x"])
+
+
+def test_idle_timeout_zero_means_no_timeout(tmp_path):
+    """--idle_timeout 0 must DISABLE the timeout (settimeout(0) would mean
+    non-blocking and drop every client instantly)."""
+    import time
+    sock, t = _echo_server(tmp_path, name="z.sock", idle_timeout=0)
+    try:
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        with c:
+            c.settimeout(10)
+            c.connect(sock)
+            time.sleep(0.3)  # dawdle before sending — must not be dropped
+            c.sendall(b'{"cmd": "ping"}\n')
+            line = c.makefile("r").readline()
+        assert json.loads(line)["ok"]
+    finally:
+        request(sock, {"cmd": "shutdown"}, timeout=10)
+        t.join(10)
+
+
+def test_exact_max_request_bytes_accepted(tmp_path):
+    """A payload of EXACTLY max_request_bytes (plus its newline) is served;
+    max+1 is rejected."""
+    sock, t = _echo_server(tmp_path, name="m.sock", max_request_bytes=64)
+    try:
+        body = '{"cmd": "ping"}'
+        line = body + " " * (64 - len(body))
+        assert len(line) == 64
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        with c:
+            c.settimeout(10)
+            c.connect(sock)
+            c.sendall(line.encode() + b"\n")
+            r = json.loads(c.makefile("r").readline())
+        assert r["ok"], r
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        with c:
+            c.settimeout(10)
+            c.connect(sock)
+            c.sendall(b" " * 65 + b"{}\n")
+            r = json.loads(c.makefile("r").readline())
+        assert not r["ok"] and "exceeds" in r["error"]
+    finally:
+        request(sock, {"cmd": "shutdown"}, timeout=10)
+        t.join(10)
