@@ -305,6 +305,14 @@ def train(config_file: str):
         interpolation=cfg.dataset.interpolation,
         crop_normalizers=cfg.dataset.crop_normalizers,
         random_flip=bool(cfg.dataset.get("random_flip", False)),
+        # ADDITIVE augmentations (the reference has flip only); see
+        # dataloader.dataset for semantics — all run on device
+        random_rot90=bool(cfg.dataset.get("random_rot90", False)),
+        random_intensity_scale=cfg.dataset.get("random_intensity_scale",
+                                               None),
+        random_intensity_shift=cfg.dataset.get("random_intensity_shift",
+                                               None),
+        random_noise_std=float(cfg.dataset.get("random_noise_std", 0.0)),
         seed=seed,
     )
     batchsize = int(cfg.train.batchsize)

@@ -125,7 +125,9 @@ class SegmentationDataset:
     def __init__(self, imseg_list, num_classes, spacing, crop_size,
                  sampling_method=CENTER, random_translation=(0, 0, 0),
                  interpolation=LINEAR, crop_normalizers=None,
-                 random_flip=False, seed=0, device_cache_gb=2.0):
+                 random_flip=False, seed=0, device_cache_gb=2.0,
+                 random_rot90=False, random_intensity_scale=None,
+                 random_intensity_shift=None, random_noise_std=0.0):
         if isinstance(imseg_list, str):
             if imseg_list.endswith(".csv"):
                 ims, segs = read_train_csv(imseg_list)
@@ -143,6 +145,26 @@ class SegmentationDataset:
         self.interpolation = interpolation
         self.crop_normalizers = crop_normalizers
         self.random_flip = bool(random_flip)
+        # ADDITIVE augmentations beyond the reference's flip (all device-
+        # side, XLA-program-count-bounded): in-plane k*90° rotations (needs
+        # a square y/x crop), multiplicative/additive intensity jitter of
+        # the NORMALIZED image, and gaussian noise. Random draws are passed
+        # as device ARRAYS / PRNG keys, never baked as trace constants — a
+        # fresh float constant per crop would recompile every step.
+        self.random_rot90 = bool(random_rot90)
+        if self.random_rot90 and crop_size[0] != crop_size[1]:
+            raise ValueError(
+                f"random_rot90 needs a square in-plane crop (x == y), got "
+                f"crop_size {list(crop_size)}")
+        self.random_intensity_scale = tuple(random_intensity_scale) \
+            if random_intensity_scale else None
+        self.random_intensity_shift = tuple(random_intensity_shift) \
+            if random_intensity_shift else None
+        self.random_noise_std = float(random_noise_std or 0.0)
+        self._noise_key = None
+        if self.random_noise_std > 0.0:
+            import jax
+            self._noise_key = jax.random.PRNGKey(int(seed) + 7)
         self.rng = np.random.default_rng(seed)
         self.num_modality = len(ims[0]) if ims else 1
         # remaining HBM bytes allowed for device-resident source volumes
@@ -195,6 +217,27 @@ class SegmentationDataset:
                 if self.rng.random() < 0.5:
                     image = jnp.flip(image, axis=ax)
                     seg = jnp.flip(seg, axis=ax)
+        if self.random_rot90:
+            # in-plane (y, x) k*90° rotation; k is a PYTHON branch (4
+            # variants -> bounded program count, like the flips)
+            k = int(self.rng.integers(4))
+            if k:
+                image = jnp.rot90(image, k, axes=(1, 2))
+                seg = jnp.rot90(seg, k, axes=(1, 2))
+        if self.random_intensity_scale is not None:
+            lo, hi = self.random_intensity_scale
+            image = image * jnp.asarray(self.rng.uniform(lo, hi),
+                            jnp.float32)
+        if self.random_intensity_shift is not None:
+            lo, hi = self.random_intensity_shift
+            image = image + jnp.asarray(self.rng.uniform(lo, hi),
+                            jnp.float32)
+        if self._noise_key is not None:
+            import jax
+            self._noise_key, sub = jax.random.split(self._noise_key)
+            noise = jax.random.normal(sub, image.shape, image.dtype)
+            image = image + noise * jnp.asarray(self.random_noise_std,
+                                                jnp.float32)
         return image, seg, crop_frame, case.name
 
     def batch(self, indices):

@@ -84,3 +84,74 @@ def test_random_flip(cases):
     ds = _make_ds(cases, "CENTER", random_flip=True, seed=3)
     outs = [np.asarray(ds[0][0]) for _ in range(6)]
     assert any(not np.allclose(outs[0], o) for o in outs[1:])
+
+
+def test_random_rot90(cases):
+    """rot90 is label-preserving: the (image > threshold) sphere mask and
+    the seg crop stay aligned under every drawn k."""
+    ds = _make_ds(cases, "CENTER", random_rot90=True, seed=5)
+    ds.random_translation = np.zeros(3)
+    base = np.asarray(_make_ds(cases, "CENTER")[0][0])
+    got_rotation = False
+    for _ in range(8):
+        image, seg, _, _ = ds[0]
+        img, sg = np.asarray(image), np.asarray(seg)
+        # image/seg alignment survives the rotation (sphere is bright)
+        fg_from_img = img[..., 0] > 0.5  # normalized: sphere ~1, bg ~ -0.5
+        agree = (fg_from_img == (sg > 0)).mean()
+        assert agree > 0.95, agree
+        if not np.allclose(img, base):
+            got_rotation = True
+    assert got_rotation
+    # non-square in-plane crops are rejected loudly
+    with pytest.raises(ValueError, match="square"):
+        _, cs = cases
+        SegmentationDataset(
+            imseg_list=([c[0] for c in cs], [c[1] for c in cs]),
+            num_classes=2, spacing=(1, 1, 1), crop_size=(16, 8, 16),
+            random_rot90=True)
+
+
+def test_intensity_and_noise_augs(cases):
+    """Scale/shift/noise perturb the image, never the seg; draws vary
+    between items; augmentation stays off by default."""
+    kw = dict(random_intensity_scale=(0.8, 1.2),
+              random_intensity_shift=(-0.2, 0.2), random_noise_std=0.05)
+    ds = _make_ds(cases, "CENTER", seed=11, **kw)
+    ds.random_translation = np.zeros(3)
+    ref_ds = _make_ds(cases, "CENTER")
+    ref_ds.random_translation = np.zeros(3)
+    ref_img, ref_seg = (np.asarray(a) for a in ref_ds[0][:2])
+    a1, s1 = (np.asarray(v) for v in ds[0][:2])
+    a2, s2 = (np.asarray(v) for v in ds[0][:2])
+    np.testing.assert_array_equal(s1, ref_seg)  # labels untouched
+    np.testing.assert_array_equal(s2, ref_seg)
+    assert not np.allclose(a1, ref_img)
+    assert not np.allclose(a1, a2)  # fresh draws per item
+    # bounded perturbation: correlation with the clean crop stays high
+    c = np.corrcoef(a1.reshape(-1), ref_img.reshape(-1))[0, 1]
+    assert c > 0.95, c
+
+
+def test_aug_config_wiring(tmp_path):
+    """cfg.dataset.random_rot90/... reach the dataset through train()'s
+    construction (smoke: 2 epochs with every augmentation on)."""
+    import os
+    from phantoms import write_train_config
+    d = tmp_path / "data"
+    cs = [make_sphere_case(str(d), f"c{i}", shape_zyx=(32, 32, 32), seed=i)
+          for i in range(2)]
+    lst = make_train_list(str(tmp_path / "t.txt"), cs)
+    cfg = write_train_config(
+        str(tmp_path / "cfg.py"), lst, str(tmp_path / "model"),
+        crop_size=(32, 32, 32), epochs=2, batchsize=2, save_epochs=2,
+        extra=("__C.net.base_channels = 2\n"
+               "__C.dataset.random_flip = True\n"
+               "__C.dataset.random_rot90 = True\n"
+               "__C.dataset.random_intensity_scale = (0.9, 1.1)\n"
+               "__C.dataset.random_intensity_shift = (-0.1, 0.1)\n"
+               "__C.dataset.random_noise_std = 0.02\n"))
+    from segmentation3d_tpu.core.seg_train import train
+    train(cfg)
+    assert os.path.isdir(os.path.join(str(tmp_path / "model"),
+                                      "checkpoints", "chk_2"))
