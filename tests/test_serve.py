@@ -315,3 +315,53 @@ def test_exact_max_request_bytes_accepted(tmp_path):
     finally:
         request(sock, {"cmd": "shutdown"}, timeout=10)
         t.join(10)
+
+
+def test_serve_coarse_to_fine_wiring(tmp_path):
+    """seg_serve --fine_model serves the round-4 c2f driver surface
+    (save_prob + post pass through; engine options fixed at start)."""
+    from segmentation3d_tpu.cli.seg_serve import main as serve_main
+    net = SegmentationNet(in_channels=1, out_channels=2, base_channels=2)
+    variables = jax.device_get(net.init(
+        jax.random.PRNGKey(2), jnp.zeros((1, 16, 16, 16, 1)), train=False))
+    model_dir = str(tmp_path / "model")
+    model_io.save_checkpoint(
+        model_dir, 0, 0, variables, net_name="vnet", max_stride=16,
+        in_channels=1, out_channels=2, spacing=[1.0, 1.0, 1.0],
+        interpolation="LINEAR",
+        crop_normalizers=[FixedNormalizer(mean=0.0, stddev=1.0)],
+        extra={"net_kwargs": {"base_channels": 2}})
+    img = np.random.default_rng(0).normal(0, 1, (24, 24, 24)).astype(
+        np.float32)
+    case = str(tmp_path / "c.nii.gz")
+    write_image(Volume(img, Frame.identity()), case)
+    sock = str(tmp_path / "c2f.sock")
+    t = threading.Thread(
+        target=serve_main, daemon=True,
+        args=(["-m", model_dir, "--fine_model", model_dir, "--socket", sock,
+               "-n", "seg.nii.gz", "--partition_size", "16", "16", "16",
+               "--batch_size", "1", "--post", "largest_cc"],))
+    t.start()
+    for _ in range(400):
+        if os.path.exists(sock):
+            break
+        t.join(0.05)
+    assert os.path.exists(sock)
+    try:
+        r = request(sock, {"input": case, "output_dir": str(tmp_path / "o"),
+                           "save_prob": True}, timeout=300)
+        assert r["ok"], r
+        out_dir = os.path.join(str(tmp_path / "o"), "c")
+        assert os.path.isfile(os.path.join(out_dir, "seg.nii.gz"))
+        assert os.path.isfile(os.path.join(out_dir, "prob_0.mha"))
+        # probabilities are a distribution everywhere (ROI fill fix)
+        p0 = read_image(os.path.join(out_dir, "prob_0.mha")).data
+        p1 = read_image(os.path.join(out_dir, "prob_1.mha")).data
+        np.testing.assert_allclose(p0 + p1, 1.0, atol=0.05)
+    finally:
+        assert request(sock, {"cmd": "shutdown"})["ok"]
+        t.join(10)
+    # --spatial_shard is rejected with --fine_model (parity with seg_infer)
+    with pytest.raises(SystemExit):
+        serve_main(["-m", model_dir, "--fine_model", model_dir,
+                    "--socket", sock, "--spatial_shard"])
