@@ -120,7 +120,10 @@ def main():
         from segmentation3d_tpu.models.packed_vnet import build_packed_forward
         afn16, avars16 = build_packed_forward(net, variables, dtype=dtype,
                                               accum=args.accum)
-        _, sec_per_vol_bf16 = measure(afn16, avars16, max(1, args.reps - 1))
+        # full rep count: a min-of-(reps-1) secondary pass caught single
+        # slow relay dispatches (measured 62.9 vs 71.9 standalone same
+        # session); each extra rep costs <1 s
+        _, sec_per_vol_bf16 = measure(afn16, avars16, args.reps)
 
     if args.profile:
         # one traced rep AFTER timing (the profiler works on the relay and
