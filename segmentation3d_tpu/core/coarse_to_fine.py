@@ -51,7 +51,7 @@ from segmentation3d_tpu.core.seg_infer import (
     SegModel, load_seg_model, find_cases, IMAGE_EXTS,
     _ReadAhead, _WriteBehind, _DeferredVolume, _prep_modality, _post_mask,
     _ens_add, _ens_finalize, _process_slice, _check_ensemble_contract,
-    _announce_no_cases,
+    _announce_no_cases, _case_names, prep_channels,
 )
 from segmentation3d_tpu.io import Volume, read_image, write_image
 from segmentation3d_tpu.ops.components import (
@@ -133,45 +133,31 @@ def _fine_grid_for_roi(lo_xyz, hi_xyz, native: Volume, spacing, max_stride,
     raw_size_xyz) where raw_size is the unpadded ROI extent (for adaptive
     normalizer stats). Bucketing bounds the compiled-program count: ROI
     sizes vary per case, and every distinct fine-grid shape is a distinct
-    program on the remote-compile relay."""
-    nat_lo = native.frame.index_to_world([0.0, 0.0, 0.0])
-    nat_hi = native.frame.index_to_world(native.size_xyz - 1.0)
-    lo = np.maximum(np.minimum(nat_lo, nat_hi), lo_xyz)
-    hi = np.minimum(np.maximum(nat_lo, nat_hi), hi_xyz)
+    program on the remote-compile relay.
+
+    Direction-safe (round-4 fix): the grid is CENTER-anchored — origin =
+    box_center - D @ (spacing * (size-1)/2) — so it covers the world box
+    for ANY direction matrix. The launch version used the world-min corner
+    as origin with the native direction, which pointed the grid AWAY from
+    the ROI for the diag(-1,-1,1) direction every RAS-sform NIfTI gets
+    after LPS conversion. The native clip likewise uses the full 8-corner
+    AABB (2 corners under-cover permuted/oblique directions), and sizes
+    come from the box extent projected onto each grid axis."""
+    n = np.asarray(native.size_xyz, np.float64)
+    corners = np.asarray([native.frame.index_to_world([ix, iy, iz])
+                          for ix in (0.0, n[0] - 1.0)
+                          for iy in (0.0, n[1] - 1.0)
+                          for iz in (0.0, n[2] - 1.0)])
+    lo = np.maximum(corners.min(axis=0), lo_xyz)
+    hi = np.maximum(np.minimum(corners.max(axis=0), hi_xyz), lo)
     spacing = np.asarray(spacing, np.float64)
-    raw = np.maximum(np.ceil((hi - lo) / spacing).astype(np.int64), 1)
+    D = np.asarray(native.frame.direction, np.float64)
+    ext = np.abs(D).T @ (hi - lo)          # box extent along each grid axis
+    raw = np.maximum(np.ceil(ext / spacing).astype(np.int64), 1)
     mult = max(int(max_stride), int(bucket or 0))
     size = (np.ceil(raw / mult) * mult).astype(np.int64)
-    frame = Frame(lo, spacing, native.frame.direction)
-    return frame, size, raw
-
-
-def _prep_pass(model: SegModel, vols, dev_data, dst_frame, dst_size,
-               valid_xyz, fill_value):
-    """Stack a model's input channels on the ``dst`` grid through the fused
-    preprocess program (``seg_infer._prep_modality``: bit-unpack + resample
-    + normalize in ONE jit). Shared by the coarse (whole-volume iso grid)
-    and fine (ROI grid) passes."""
-    channels = []
-    for mi, v in enumerate(vols):
-        if dev_data is not None:
-            src, pmeta = dev_data[mi]
-        else:
-            src, pmeta = v.data, {"scheme": "raw", "lo": 0,
-                                  "shape": tuple(v.data.shape)}
-        kind, coeffs, out_shape = resample_plan(v.frame, dst_frame, dst_size)
-        norm = model.normalizers[mi]
-        norm_spec = tuple(sorted(norm.to_dict().items())) \
-            if norm is not None else None
-        valid_zyx = (int(valid_xyz[2]), int(valid_xyz[1]), int(valid_xyz[0])) \
-            if isinstance(norm, AdaptiveNormalizer) else None
-        channels.append(_prep_modality(
-            jnp.asarray(src), jnp.asarray(coeffs),
-            jnp.asarray(pmeta["lo"], jnp.float32),
-            kind=kind, out_shape=out_shape, interp=model.interpolation,
-            fill=fill_value, norm_spec=norm_spec, valid_zyx=valid_zyx,
-            pack_scheme=pmeta["scheme"], src_shape=tuple(pmeta["shape"])))
-    return jnp.stack(channels, axis=-1)
+    origin = (lo + hi) / 2.0 - D @ (spacing * (size - 1) / 2.0)
+    return Frame(origin, spacing, D), size, raw
 
 
 def segment_case_coarse_to_fine(
@@ -204,8 +190,8 @@ def segment_case_coarse_to_fine(
                                  coarse.spacing, 1)
     c_frame, c_size = resampled_frame(native.frame, native.size_xyz,
                                       coarse.spacing, pad_mult)
-    cvol = _prep_pass(coarse, vols, dev_data, c_frame, c_size, c_valid,
-                      fill_value)
+    cvol = prep_channels(coarse, vols, dev_data, c_frame, c_size,
+                         c_valid, fill_value)
     ckey = cvol.shape[:3]
     if ckey not in coarse_inferer_cache:
         coarse_inferer_cache[ckey] = SlidingWindowInferer(
@@ -243,8 +229,8 @@ def segment_case_coarse_to_fine(
     f_size_zyx = np.maximum(f_size[::-1], np.asarray(patch_size_zyx))
     f_size = f_size_zyx[::-1].copy()
     f_valid = np.minimum(f_raw, f_size)
-    fvol = _prep_pass(fine, vols, dev_data, f_frame, f_size, f_valid,
-                      fill_value)
+    fvol = prep_channels(fine, vols, dev_data, f_frame, f_size, f_valid,
+                         fill_value)
 
     if len(fines) > 1:
         prob = fine_inferers[0](fine.variables, fvol, stride_zyx=stride_zyx,
@@ -372,8 +358,15 @@ def _build_c2f_session(coarse_model_dir, fine_model_dirs, dtype, patch,
                     f"quant={q!r} requires the packed-domain forward, "
                     "which this architecture does not support")
 
+    # reference SIZE-partition semantics (seg_infer._case_loop): the patch
+    # rounds UP to the fine model's stride instead of failing every case
+    # deep in the net; an equal stride (constant blend) follows the patch
+    ms = int(fines[0].max_stride)
+    patch_eff = tuple(int(-(-p // ms) * ms) for p in patch)
+    stride_eff = patch_eff if stride == patch else tuple(
+        min(s, p) for s, p in zip(stride, patch_eff))
     for f, c in zip(fines, calibs):
-        attach_fused(f, patch[2], q=quant, calib=c)
+        attach_fused(f, patch_eff[2], q=quant, calib=c)
     # coarse pass volumes are whole downsampled volumes bucketed to the
     # model stride; width divisibility is only known per case, so use the
     # window-conv fused forward (always valid)
@@ -381,14 +374,14 @@ def _build_c2f_session(coarse_model_dir, fine_model_dirs, dtype, patch,
     # tta applies to the FINE pass only: the coarse pass exists to find the
     # ROI, where mirror averaging buys nothing the margin doesn't already
     fine_inferers = [SlidingWindowInferer(
-        f.net, patch, f.out_channels, batch_size=batch_size,
-        blend=blend if stride != patch else "constant",
+        f.net, patch_eff, f.out_channels, batch_size=batch_size,
+        blend=blend if stride_eff != patch_eff else "constant",
         apply_fn=getattr(f, "fused_apply", None),
         apply_vars=getattr(f, "fused_vars", None), tta=tta, mesh=mesh)
         for f in fines]
     return {"coarse": coarse, "fine": fines[0], "fines": fines,
             "fine_inferer": fine_inferers[0], "fine_inferers": fine_inferers,
-            "coarse_cache": {}}
+            "coarse_cache": {}, "patch": patch_eff, "stride": stride_eff}
 
 
 def segmentation_coarse_to_fine(
@@ -465,6 +458,8 @@ def segmentation_coarse_to_fine(
     coarse = sess["coarse"]
     fines, fine_inferers = sess["fines"], sess["fine_inferers"]
     coarse_cache = sess["coarse_cache"]
+    # the session may have rounded the patch up to the fine model's stride
+    patch, stride = sess["patch"], sess["stride"]
 
     cases = find_cases(input_path)
     n_global = len(cases)
@@ -478,12 +473,9 @@ def segmentation_coarse_to_fine(
     failures = []
     writer = _WriteBehind()
     try:
-        for image_paths, vols, devs, read_err in _ReadAhead(cases):
-            name = os.path.basename(image_paths[0])
-            for suf in IMAGE_EXTS:
-                if name.endswith(suf):
-                    name = name[: -len(suf)]
-                    break
+        names = _case_names(cases)
+        for (image_paths, vols, devs, read_err), name in zip(
+                _ReadAhead(cases), names):
             if read_err is not None:
                 print(f"ERROR: skipping {name}: {read_err}")
                 failures.append((name, read_err))

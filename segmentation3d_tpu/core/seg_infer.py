@@ -43,6 +43,11 @@ def read_test_txt(path):
         lines = [ln.strip() for ln in f if ln.strip()]
     num_cases = int(lines[0])
     body = lines[1:]
+    if num_cases <= 0 or len(body) % num_cases != 0:
+        raise ValueError(
+            f"{path}: {len(body)} path line(s) do not divide into the "
+            f"declared {num_cases} case(s) — a silent mis-grouping would "
+            "run inference on mismatched modality files")
     per_case = len(body) // num_cases
     return [body[i * per_case:(i + 1) * per_case] for i in range(num_cases)]
 
@@ -83,6 +88,35 @@ def find_cases(input_path):
     if input_path.endswith(".csv"):
         return read_test_csv(input_path)
     return [[input_path]]
+
+
+def _strip_ext(name):
+    for suf in IMAGE_EXTS:
+        if name.endswith(suf):
+            return name[: -len(suf)]
+    return name
+
+
+def _case_names(cases):
+    """One output-directory name per case, UNIQUE across the batch: the
+    extension-stripped basename, disambiguated by the parent directory when
+    several cases share a filename (the common per-case-folder layout —
+    every case named ``image.nii.gz`` must not overwrite one output dir),
+    and by a numeric suffix as a last resort."""
+    base = [_strip_ext(os.path.basename(c[0])) for c in cases]
+    names = list(base)
+    from collections import Counter
+    dup = {n for n, k in Counter(names).items() if k > 1}
+    if dup:
+        names = [os.path.join(os.path.basename(os.path.dirname(c[0])), n)
+                 if n in dup and os.path.basename(os.path.dirname(c[0]))
+                 else n for n, c in zip(names, cases)]
+    seen = Counter()
+    out = []
+    for n in names:
+        seen[n] += 1
+        out.append(n if seen[n] == 1 else f"{n}_{seen[n]}")
+    return out
 
 
 class SegModel:
@@ -377,6 +411,38 @@ def _ens_finalize(prob_sum, *, n):
     return prob, jnp.argmax(prob, axis=-1).astype(jnp.uint8)
 
 
+def prep_channels(model, vols, dev_data, dst_frame, dst_size, valid_xyz,
+                  fill_value):
+    """Stack a model's input channels on the ``dst`` grid through the fused
+    preprocess program (:func:`_prep_modality`: bit-unpack + resample +
+    normalize in ONE jit). Shared by the flat driver and both passes of
+    coarse-to-fine; ``valid_xyz`` bounds adaptive-normalizer stats to the
+    unpadded region."""
+    from segmentation3d_tpu.utils.normalizer import AdaptiveNormalizer
+    channels = []
+    for mi, v in enumerate(vols):
+        if dev_data is not None:
+            src, pmeta = dev_data[mi]
+        else:
+            src, pmeta = v.data, {"scheme": "raw", "lo": 0,
+                                  "shape": tuple(v.data.shape)}
+        kind, coeffs, out_shape = resample_plan(v.frame, dst_frame, dst_size)
+        norm = model.normalizers[mi]
+        norm_spec = tuple(sorted(norm.to_dict().items())) \
+            if norm is not None else None
+        # percentile window from the VALID region only — bucket padding
+        # (fill voxels) must not skew the intensity statistics
+        valid_zyx = (int(valid_xyz[2]), int(valid_xyz[1]), int(valid_xyz[0])) \
+            if isinstance(norm, AdaptiveNormalizer) else None
+        channels.append(_prep_modality(
+            jnp.asarray(src), jnp.asarray(coeffs),
+            jnp.asarray(pmeta["lo"], jnp.float32),
+            kind=kind, out_shape=out_shape, interp=model.interpolation,
+            fill=fill_value, norm_spec=norm_spec, valid_zyx=valid_zyx,
+            pack_scheme=pmeta["scheme"], src_shape=tuple(pmeta["shape"])))
+    return jnp.stack(channels, axis=-1)  # [D,H,W,C]
+
+
 def segmentation_one_case(model: SegModel, image_paths, inferer: SlidingWindowInferer,
                           stride_zyx=None, save_prob=False, post_processing=None,
                           fill_value: float = 0.0, shape_bucket: int = 64,
@@ -413,40 +479,15 @@ def segmentation_one_case(model: SegModel, image_paths, inferer: SlidingWindowIn
     # modalities are resampled ONTO THAT SAME iso grid so modalities with
     # shifted native frames stay registered in world space (each modality
     # resampled onto its own grid would silently discard the offset).
-    channels = []
-    iso_frame = iso_size = None
+    # Per-modality work happens in the fused preprocess program with
+    # bit-packed stored-dtype uploads (prep_channels).
     from segmentation3d_tpu.ops.geometry import resampled_frame
-    from segmentation3d_tpu.utils.normalizer import AdaptiveNormalizer
     # valid (unpadded) region of the shared iso grid, for adaptive stats
     _, valid = resampled_frame(vols[0].frame, vols[0].size_xyz, model.spacing, 1)
     iso_frame, iso_size = resampled_frame(
         vols[0].frame, vols[0].size_xyz, model.spacing, pad_mult)
-    for mi, v in enumerate(vols):
-        # bit-packed stored-dtype upload (int16 CT crosses as 12 bits/voxel,
-        # ops/volume_pack.py; the unpack + f32 cast happen on device inside
-        # the fused preprocess program)
-        if dev_data is not None:
-            src, pmeta = dev_data[mi]
-        else:
-            src, pmeta = v.data, {"scheme": "raw", "lo": 0,
-                                  "shape": tuple(v.data.shape)}
-        kind, coeffs, out_shape = resample_plan(v.frame, iso_frame, iso_size)
-        norm = model.normalizers[mi]
-        norm_spec = tuple(sorted(norm.to_dict().items())) \
-            if norm is not None else None
-        # percentile window from the VALID region only — bucket padding
-        # (fill voxels) must not skew the intensity statistics
-        valid_zyx = (int(valid[2]), int(valid[1]), int(valid[0])) \
-            if isinstance(norm, AdaptiveNormalizer) else None
-        iso = _prep_modality(jnp.asarray(src), jnp.asarray(coeffs),
-                             jnp.asarray(pmeta["lo"], jnp.float32),
-                             kind=kind, out_shape=out_shape,
-                             interp=model.interpolation, fill=fill_value,
-                             norm_spec=norm_spec, valid_zyx=valid_zyx,
-                             pack_scheme=pmeta["scheme"],
-                             src_shape=tuple(pmeta["shape"]))
-        channels.append(iso)
-    vol = jnp.stack(channels, axis=-1)  # [D,H,W,C]
+    vol = prep_channels(model, vols, dev_data, iso_frame, iso_size, valid,
+                        fill_value)
 
     if extra_members:
         prob = inferer(model.variables, vol, stride_zyx=stride_zyx,
@@ -806,12 +847,9 @@ def _case_loop(cases, models, mesh, fused_forward_for, partition_type,
                post_processing, output_dir, seg_name, inferers, results,
                failures, writer, tta=()):
     model = models[0]
-    for image_paths, vols, devs, read_err in _ReadAhead(cases):
-        case_name = os.path.basename(image_paths[0])
-        for suf in IMAGE_EXTS:
-            if case_name.endswith(suf):
-                case_name = case_name[: -len(suf)]
-                break
+    names = _case_names(cases)
+    for (image_paths, vols, devs, read_err), case_name in zip(
+            _ReadAhead(cases), names):
         if read_err is not None:
             print(f"ERROR: skipping {case_name}: {read_err}")
             failures.append((case_name, read_err))

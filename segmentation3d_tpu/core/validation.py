@@ -185,6 +185,12 @@ def validate_cases(net, variables, val_list, *, spacing, interpolation,
             rec["inferer"].apply_vars = apply_vars  # fresh fold, same program
         pred = np.asarray(rec["inferer"](variables, vol, stride_zyx=stride))
         g = np.asarray(gt)
+        # score only the VALID (unpadded) region: the model may predict
+        # foreground in bucket-padding fill voxels, which would deflate the
+        # Dice that drives cfg.train.save_best checkpoint selection
+        vz, vy, vx = int(valid[2]), int(valid[1]), int(valid[0])
+        pred = pred[:vz, :vy, :vx]
+        g = g[:vz, :vy, :vx]
         dices = []
         for c in range(1, num_classes):
             inter = float(np.logical_and(g == c, pred == c).sum())

@@ -320,6 +320,14 @@ def read_dicom_series(folder: str):
     if len(slices) > 1:
         zs = [float(np.dot(s["pos"], normal)) for s in slices]
         dz = float(np.median(np.diff(zs)))
+        if not np.isfinite(dz) or abs(dz) < 1e-6:
+            # all-equal positions (missing ImagePositionPatient, or two
+            # series mixed in one folder) would make spacing[2] = 0 and NaN
+            # every downstream resample — fail loudly instead
+            raise ValueError(
+                f"{folder}: slice positions do not advance along the "
+                "series normal (missing ImagePositionPatient, or multiple "
+                "series mixed in one folder) — cannot derive z spacing")
     else:
         dz = 1.0
     origin = slices[0]["pos"]

@@ -45,6 +45,13 @@ def read_mha(path):
         ndims = int(header.get("NDims", 3))
         if ndims != 3:
             raise ValueError(f"{path}: only 3D MetaImages supported, NDims={ndims}")
+        nchan = int(header.get("ElementNumberOfChannels", 1))
+        if nchan != 1:
+            # reading the first 1/nchan of the interleaved samples as a
+            # scalar volume would be silently scrambled garbage
+            raise ValueError(
+                f"{path}: multi-channel MetaImage "
+                f"(ElementNumberOfChannels={nchan}) is not a scalar volume")
         dims = [int(v) for v in header["DimSize"].split()]  # (nx, ny, nz)
         dtype = np.dtype(_MET_TO_NP[header["ElementType"]])
         if header.get("BinaryDataByteOrderMSB", "False").lower() == "true":

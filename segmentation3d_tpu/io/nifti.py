@@ -186,9 +186,13 @@ class _Hdr:
         if not data.dtype.isnative:
             data = np.ascontiguousarray(
                 data.astype(data.dtype.newbyteorder("=")))
-        if self.scl_slope not in (0.0, 1.0) or self.scl_inter != 0.0:
-            slope = self.scl_slope if self.scl_slope != 0.0 else 1.0
-            data = data.astype(np.float32) * slope + self.scl_inter
+        # non-finite slope/inter means "no scaling" in the wild (nibabel
+        # special-cases NaN the same way) — applying it verbatim would NaN
+        # the whole volume silently
+        slope = self.scl_slope if np.isfinite(self.scl_slope) else 0.0
+        inter = self.scl_inter if np.isfinite(self.scl_inter) else 0.0
+        if slope not in (0.0, 1.0) or inter != 0.0:
+            data = data.astype(np.float32) * (slope or 1.0) + inter
         return data
 
     def frame(self) -> Frame:

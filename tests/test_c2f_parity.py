@@ -82,10 +82,12 @@ def test_save_prob_and_post_processing(c2f_model):
     assert float(p1[truth.data > 0].mean()) > 0.6
     p0 = read_image(os.path.join(case_dir, "prob_0.mha")).data
     assert float(p0[truth.data > 0].mean()) < 0.4
-    # OUTSIDE the ROI the distribution must read background=1 (consistent
-    # with the empty-ROI branch), not the resampler's all-zero fill
-    assert abs(float(p0[0, 0, 0]) - 1.0) < 1e-2
-    assert float(p1[0, 0, 0]) < 1e-2
+    # the prob maps are a valid DISTRIBUTION everywhere — including any
+    # voxels outside the fine ROI grid, where the launch version's
+    # resampler fill made every class read 0 (round-4 fix: background
+    # resamples as p0-1 with the 1 added back)
+    np.testing.assert_allclose(p0 + p1, 1.0, atol=0.05)
+    assert float(p0[0, 0, 0]) > 0.5  # corner is background-dominated
 
 
 def test_fine_ensemble_matches_single(c2f_model):
@@ -277,3 +279,77 @@ def test_cli_c2f_checkpoint_flags_require_fine_model(tmp_path):
     with pytest.raises(SystemExit, match="fine_model"):
         main(["-i", "x.nii.gz", "-m", "m", "-o", str(tmp_path),
               "--coarse_checkpoint", "3"])
+
+
+def test_fine_grid_covers_roi_for_any_direction():
+    """The fine grid must cover the ROI world box for flipped/permuted
+    direction matrices (round-4 review fix: the world-min-corner origin
+    pointed the grid AWAY from the ROI under diag(-1,-1,1) — the direction
+    every RAS-sform NIfTI gets after LPS conversion)."""
+    from segmentation3d_tpu.core.coarse_to_fine import _fine_grid_for_roi
+    from segmentation3d_tpu.io import Volume
+    from segmentation3d_tpu.ops.geometry import Frame
+    rng = np.random.default_rng(0)
+    perm = np.eye(3)[[1, 0, 2]]  # x/y swap
+    for D in (np.eye(3), np.diag([-1.0, -1.0, 1.0]),
+              np.diag([1.0, -1.0, -1.0]), perm, perm @ np.diag([-1, 1, -1.0])):
+        native = Volume(np.zeros((40, 40, 40), np.float32),
+                        Frame(np.array([5.0, -3.0, 2.0]),
+                              np.array([1.0, 1.0, 1.0]), D))
+        nat = np.asarray([native.frame.index_to_world([i, j, k])
+                          for i in (0, 39) for j in (0, 39) for k in (0, 39)])
+        lo_box = nat.min(axis=0) + 8.0
+        hi_box = lo_box + np.array([10.0, 14.0, 6.0])
+        frame, size, raw = _fine_grid_for_roi(lo_box, hi_box, native,
+                                              [1.0, 1.0, 1.0], 16)
+        corners = np.asarray([frame.index_to_world([i, j, k])
+                              for i in (0, size[0] - 1)
+                              for j in (0, size[1] - 1)
+                              for k in (0, size[2] - 1)])
+        glo, ghi = corners.min(axis=0), corners.max(axis=0)
+        assert (glo <= lo_box + 1e-6).all() and (ghi >= hi_box - 1e-6).all(), \
+            (D, glo, lo_box, ghi, hi_box)
+
+
+def test_case_name_collisions_disambiguated(tmp_path):
+    """Cases sharing a filename (per-case-folder layout: every case is
+    image.nii.gz) must not overwrite one output directory."""
+    from segmentation3d_tpu.core.seg_infer import _case_names
+    cases = [[str(tmp_path / "caseA" / "image.nii.gz")],
+             [str(tmp_path / "caseB" / "image.nii.gz")],
+             [str(tmp_path / "other.nii.gz")]]
+    names = _case_names(cases)
+    assert len(set(names)) == 3
+    assert names[2] == "other"
+    assert "caseA" in names[0] and "caseB" in names[1]
+    # unique basenames stay plain
+    assert _case_names([[str(tmp_path / "a.nii.gz")],
+                        [str(tmp_path / "b.nii.gz")]]) == ["a", "b"]
+
+
+def test_read_test_txt_miscounted_list_raises(tmp_path):
+    from segmentation3d_tpu.core.seg_infer import read_test_txt
+    p = str(tmp_path / "bad.txt")
+    open(p, "w").write("2\none.nii.gz\ntwo.nii.gz\nthree.nii.gz\n")
+    with pytest.raises(ValueError, match="divide"):
+        read_test_txt(p)
+
+
+def test_partition_rounds_to_model_stride(c2f_model):
+    """A partition_size that is not a multiple of the fine model's
+    max_stride rounds UP (reference SIZE semantics) instead of failing
+    every case deep in the net."""
+    root, cases, save_dir = c2f_model
+    from segmentation3d_tpu.core import coarse_to_fine as c2f
+    from segmentation3d_tpu.io import read_image
+    out = str(root / "out_rnd")
+    results = c2f.segmentation_coarse_to_fine(
+        cases[0][0][0], save_dir, save_dir, out, seg_name="seg.nii.gz",
+        partition_size=(40, 40, 40), batch_size=1, margin_mm=8.0)
+    assert len(results) == 1
+    truth = read_image(cases[0][1])
+    pred = read_image(os.path.join(out, results[0][0], "seg.nii.gz"))
+    assert _dice(pred.data, truth.data) >= 0.8
+    # the live session rounded 40 -> 48
+    assert any(s.get("patch") == (48, 48, 48)
+               for s in c2f._C2F_SESSIONS.values())

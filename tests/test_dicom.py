@@ -187,3 +187,17 @@ def test_jpeg_family_still_clear_error(tmp_path):
     open(p, "wb").write(bad)
     with pytest.raises(ValueError, match="unsupported"):
         _read_file(p)
+
+
+def test_non_advancing_positions_raise(tmp_path):
+    """Slices whose positions do not advance along the normal (missing
+    ImagePositionPatient / mixed series) raise instead of building a
+    spacing-0 frame that NaNs every resample."""
+    from segmentation3d_tpu.io.dicom import (read_dicom_series,
+                                             write_dicom_series)
+    from segmentation3d_tpu.ops.geometry import Frame
+    d = str(tmp_path / "flat")
+    frame = Frame(np.zeros(3), np.array([1.0, 1.0, 0.0]), np.eye(3))
+    write_dicom_series(d, np.zeros((3, 4, 4), np.int16), frame)
+    with pytest.raises(ValueError, match="z spacing"):
+        read_dicom_series(d)

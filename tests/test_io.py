@@ -326,3 +326,35 @@ def test_mhd_writes_detached_raw(tmp_path, compress):
     data, frame = read_mha(p)
     np.testing.assert_array_equal(data, v.data)
     assert v.frame.isclose(frame)
+
+
+def test_nifti_nan_scl_slope_means_unscaled(tmp_path):
+    """scl_slope=NaN (written by several tools; nibabel treats it as 'no
+    scaling') must not NaN the volume."""
+    import struct
+    from segmentation3d_tpu.io import Volume, read_image, write_image
+    from segmentation3d_tpu.ops.geometry import Frame
+    data = np.arange(2 * 3 * 4, dtype=np.int16).reshape(2, 3, 4)
+    p = str(tmp_path / "nan_slope.nii")
+    write_image(Volume(data, Frame.identity()), p)
+    blob = bytearray(open(p, "rb").read())
+    struct.pack_into("<f", blob, 112, float("nan"))  # scl_slope
+    struct.pack_into("<f", blob, 116, float("nan"))  # scl_inter
+    open(p, "wb").write(bytes(blob))
+    back = read_image(p)
+    assert np.isfinite(back.data).all()
+    np.testing.assert_array_equal(np.asarray(back.data, np.int16), data)
+
+
+def test_mha_multichannel_rejected(tmp_path):
+    """A multi-channel MetaImage raises instead of silently misreading the
+    interleaved samples as a scrambled scalar volume."""
+    from segmentation3d_tpu.io.mha import read_mha
+    p = str(tmp_path / "rgb.mha")
+    hdr = ("ObjectType = Image\nNDims = 3\nDimSize = 2 2 2\n"
+           "ElementNumberOfChannels = 3\nElementType = MET_UCHAR\n"
+           "ElementDataFile = LOCAL\n")
+    with open(p, "wb") as f:
+        f.write(hdr.encode() + bytes(range(24)))
+    with pytest.raises(ValueError, match="Channels"):
+        read_mha(p)

@@ -137,3 +137,25 @@ def test_small_case_still_whole_volume(tmp_path):
     assert mean > 0.9
     ((patch, stride),) = [k for k in cache if isinstance(k, tuple)]
     assert patch == stride == (32, 32, 32)
+
+
+def test_dice_excludes_bucket_padding(tmp_path):
+    """Dice is scored on the VALID region only: a predictor that is perfect
+    on the case must score 1.0 even when bucket padding adds voxels it
+    labels foreground (round-4 review fix — padded-region scoring biased
+    chk_best selection low)."""
+    class _AllOneNet:
+        def apply(self, variables, x, train=False):
+            import jax
+            cls = jnp.ones(x.shape[:-1], jnp.int32)
+            return jax.nn.one_hot(cls, 2, dtype=jnp.float32)
+
+    seg = np.ones((24, 24, 24), np.uint8)
+    cases = [_write_case(str(tmp_path / "d"), "pad", seg.astype(np.float32),
+                         seg)]
+    lst = make_train_list(str(tmp_path / "val.txt"), cases)
+    mean, per_class, n = validate_cases(
+        _AllOneNet(), {}, lst, spacing=[1.0, 1.0, 1.0],
+        interpolation="LINEAR", normalizers=[None], num_classes=2,
+        max_stride=16, shape_bucket=32)  # padded 24^3 -> 32^3
+    np.testing.assert_allclose(mean, 1.0, atol=1e-9)
