@@ -225,12 +225,18 @@ def segment_case_coarse_to_fine(
     f_frame, f_size, f_raw = _fine_grid_for_roi(
         roi[0], roi[1], native, fine.spacing, fine.max_stride,
         bucket=shape_bucket)
-    # patches must fit the ROI grid
+    # patches must fit the ROI grid (the grid extends at the HIGH end only —
+    # the origin computed by _fine_grid_for_roi is unchanged)
+    f_size_orig = f_size.copy()
     f_size_zyx = np.maximum(f_size[::-1], np.asarray(patch_size_zyx))
     f_size = f_size_zyx[::-1].copy()
     f_valid = np.minimum(f_raw, f_size)
-    fvol = prep_channels(fine, vols, dev_data, f_frame, f_size, f_valid,
-                         fill_value)
+    # the fine grid is CENTER-anchored: _fine_grid_for_roi splits the bucket
+    # padding symmetrically around the ROI, so adaptive-normalizer stats
+    # must read the centered window, not the low-index corner
+    f_off = np.maximum((f_size_orig - f_valid) // 2, 0)
+    fvol = prep_channels(fine, vols, dev_data, f_frame, f_size,
+                         np.concatenate([f_off, f_valid]), fill_value)
 
     if len(fines) > 1:
         prob = fine_inferers[0](fine.variables, fvol, stride_zyx=stride_zyx,
@@ -463,6 +469,9 @@ def segmentation_coarse_to_fine(
 
     cases = find_cases(input_path)
     n_global = len(cases)
+    # names disambiguate over the GLOBAL list before the round-robin slice
+    # (colliding names on different processes must not share an output dir)
+    names = _process_slice(_case_names(cases))
     cases = _process_slice(cases)  # multi-host round-robin (seg_infer P2)
     os.makedirs(output_dir, exist_ok=True)
     if not cases:
@@ -473,7 +482,6 @@ def segmentation_coarse_to_fine(
     failures = []
     writer = _WriteBehind()
     try:
-        names = _case_names(cases)
         for (image_paths, vols, devs, read_err), name in zip(
                 _ReadAhead(cases), names):
             if read_err is not None:

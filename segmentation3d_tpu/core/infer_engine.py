@@ -263,6 +263,65 @@ class SlidingWindowInferer:
         return self._finalize(prob, wsum, Ph)
 
     @functools.partial(jax.jit, static_argnums=(0,))
+    def _run_dice(self, variables, vol, boxes, box_mask, gt, valid):
+        """Whole-volume inference + per-class Dice sums ON DEVICE.
+
+        Validation's scoring is a reduction, so it belongs on the chip: the
+        host used to read back a full int mask per case over the slow D2H
+        relay direction (a 320^3 int32 mask is ~131 MB at ~3-20 MB/s —
+        BASELINE.md round-4 measured 34.8 s/save point); this program reads
+        back ``2*(num_classes-1)`` floats instead. ``gt`` is the iso-grid
+        ground-truth label volume [D,H,W] (any real dtype with exact integer
+        values); ``valid`` is a TRACED int32[3] (vz,vy,vx) bound of the
+        unpadded region — traced so per-case valid sizes share one compiled
+        program per shape bucket. Returns [num_classes-1, 2] f32 of
+        (intersection, |gt==c| + |pred==c|) over the valid region."""
+        prob, wsum, Ph = self._accumulate(variables, vol, boxes, box_mask)
+        _, seg = self._finalize(prob, wsum, Ph)
+        seg = seg.astype(jnp.int32)
+        gt = gt.astype(jnp.int32)
+        D, H, W = seg.shape
+        validm = ((jnp.arange(D, dtype=jnp.int32)[:, None, None] < valid[0])
+                  & (jnp.arange(H, dtype=jnp.int32)[None, :, None] < valid[1])
+                  & (jnp.arange(W, dtype=jnp.int32)[None, None, :] < valid[2]))
+        rows = []
+        for c in range(1, self.num_classes):
+            pc = (seg == c) & validm
+            gc = (gt == c) & validm
+            inter = jnp.sum((pc & gc).astype(jnp.float32))
+            denom = (jnp.sum(pc.astype(jnp.float32))
+                     + jnp.sum(gc.astype(jnp.float32)))
+            rows.append(jnp.stack([inter, denom]))
+        return jnp.stack(rows)
+
+    def dice(self, variables, vol, gt, valid_zyx, stride_zyx=None):
+        """Per-class Dice of the sliding-window prediction against ``gt``,
+        computed on device — only ``[num_classes-1, 2]`` floats cross the
+        link. ``valid_zyx``: (vz,vy,vx) unpadded-region bound (scored region;
+        bucket-padding fill is excluded). Returns a numpy [NC-1] array of
+        ``2*inter / max(denom, 1)`` values."""
+        if vol.ndim == 3:
+            vol = vol[..., None]
+        if self.apply_vars is not None:
+            variables = self.apply_vars
+        if self.mesh is not None:
+            raise NotImplementedError("on-device dice is single-chip "
+                                      "(validation never builds a mesh)")
+        boxes = self.boxes_for(vol.shape[:3], stride_zyx)
+        n = len(boxes)
+        b = min(self.batch_size, n)
+        nb = -(-n // b)
+        padded = np.zeros((nb * b, 3), np.int32)
+        padded[:n] = boxes
+        mask = np.zeros((nb * b,), np.float32)
+        mask[:n] = 1.0
+        sums = np.asarray(self._run_dice(
+            variables, vol, jnp.asarray(padded.reshape(nb, b, 3)),
+            jnp.asarray(mask.reshape(nb, b)), gt,
+            jnp.asarray(np.asarray(valid_zyx, np.int32))))
+        return 2.0 * sums[:, 0] / np.maximum(sums[:, 1], 1.0)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
     def _run_sharded(self, variables, vol, boxes, box_mask):
         """Patch-parallel multi-chip run: boxes [NB, B, 3] with NB divisible
         by the mesh size. Each device scans NB/n_dev box batches locally;

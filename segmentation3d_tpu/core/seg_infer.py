@@ -359,8 +359,11 @@ def _prep_modality(src, coeffs, pack_lo, *, kind, out_shape, interp, fill,
     on the remote-compile relay, where every distinct program costs seconds to
     minutes of first-call latency — program COUNT is a first-order cost.
     ``norm_spec``: hashable ``tuple(sorted(normalizer.to_dict().items()))``
-    or None; ``valid_zyx``: unpadded region for adaptive stats (None for
-    non-adaptive specs so shared cases don't fork compilations)."""
+    or None; ``valid_zyx``: unpadded region for adaptive stats — either
+    ``(vz, vy, vx)`` (corner-anchored) or ``(oz, oy, ox, vz, vy, vx)`` with
+    an explicit offset (center-anchored grids, e.g. the c2f fine grid pad
+    the valid content symmetrically); None for non-adaptive specs so shared
+    cases don't fork compilations."""
     if pack_scheme != "raw":
         from segmentation3d_tpu.ops.volume_pack import unpack_volume
         src = unpack_volume(src, scheme=pack_scheme, shape=src_shape,
@@ -371,8 +374,12 @@ def _prep_modality(src, coeffs, pack_lo, *, kind, out_shape, interp, fill,
         norm = normalizer_from_dict(dict(norm_spec))
         from segmentation3d_tpu.utils.normalizer import AdaptiveNormalizer
         if isinstance(norm, AdaptiveNormalizer):
-            vz, vy, vx = valid_zyx
-            iso = norm(iso, stats_of=iso[:vz, :vy, :vx])
+            if len(valid_zyx) == 6:
+                oz, oy, ox, vz, vy, vx = valid_zyx
+            else:
+                oz = oy = ox = 0
+                vz, vy, vx = valid_zyx
+            iso = norm(iso, stats_of=iso[oz:oz + vz, oy:oy + vy, ox:ox + vx])
         else:
             iso = norm(iso)
     return iso
@@ -417,7 +424,9 @@ def prep_channels(model, vols, dev_data, dst_frame, dst_size, valid_xyz,
     preprocess program (:func:`_prep_modality`: bit-unpack + resample +
     normalize in ONE jit). Shared by the flat driver and both passes of
     coarse-to-fine; ``valid_xyz`` bounds adaptive-normalizer stats to the
-    unpadded region."""
+    unpadded region — ``(vx, vy, vz)`` sizes (corner-anchored) or
+    ``(ox, oy, oz, vx, vy, vz)`` with an explicit offset for grids that pad
+    symmetrically (the c2f center-anchored fine grid)."""
     from segmentation3d_tpu.utils.normalizer import AdaptiveNormalizer
     channels = []
     for mi, v in enumerate(vols):
@@ -432,8 +441,14 @@ def prep_channels(model, vols, dev_data, dst_frame, dst_size, valid_xyz,
             if norm is not None else None
         # percentile window from the VALID region only — bucket padding
         # (fill voxels) must not skew the intensity statistics
-        valid_zyx = (int(valid_xyz[2]), int(valid_xyz[1]), int(valid_xyz[0])) \
-            if isinstance(norm, AdaptiveNormalizer) else None
+        if isinstance(norm, AdaptiveNormalizer):
+            vv = tuple(int(t) for t in np.asarray(valid_xyz).reshape(-1))
+            if len(vv) == 6:  # (ox,oy,oz,vx,vy,vz) -> (oz,oy,ox,vz,vy,vx)
+                valid_zyx = (vv[2], vv[1], vv[0], vv[5], vv[4], vv[3])
+            else:
+                valid_zyx = (vv[2], vv[1], vv[0])
+        else:
+            valid_zyx = None
         channels.append(_prep_modality(
             jnp.asarray(src), jnp.asarray(coeffs),
             jnp.asarray(pmeta["lo"], jnp.float32),
@@ -767,7 +782,12 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     # process per host via jax.distributed.initialize, same input/output
     # args everywhere; the returned results cover THIS process's slice.
     n_global = len(cases)
+    # output names are disambiguated over the GLOBAL list before slicing:
+    # two colliding cases that land on different processes would otherwise
+    # each locally see no duplicate and clobber one shared output dir
+    names = _case_names(cases)
     cases = _process_slice(cases)
+    names = _process_slice(names)
     os.makedirs(output_dir, exist_ok=True)
     if not cases:
         _announce_no_cases(n_global, input_path)
@@ -782,7 +802,7 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
                    partition_size, partition_stride, batch_size, blend,
                    spatial_shard, shape_bucket, save_image, save_prob,
                    post_processing, output_dir, seg_name, inferers, results,
-                   failures, writer, tta=tta)
+                   failures, writer, tta=tta, names=names)
     finally:
         # the writer is drained even when the loop is aborted (KeyboardInterrupt,
         # a config-level error): cases already reported successful must not
@@ -845,9 +865,10 @@ def _case_loop(cases, models, mesh, fused_forward_for, partition_type,
                partition_size, partition_stride, batch_size, blend,
                spatial_shard, shape_bucket, save_image, save_prob,
                post_processing, output_dir, seg_name, inferers, results,
-               failures, writer, tta=()):
+               failures, writer, tta=(), names=None):
     model = models[0]
-    names = _case_names(cases)
+    if names is None:  # single-process callers; multi-host passes the
+        names = _case_names(cases)  # globally-disambiguated slice in
     for (image_paths, vols, devs, read_err), case_name in zip(
             _ReadAhead(cases), names):
         if read_err is not None:

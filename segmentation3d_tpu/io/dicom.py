@@ -74,20 +74,33 @@ def _parse_elements(buf: bytes, start: int, explicit: bool, stop_tag=TAG_PIXEL_D
                     "the minimal DICOM reader")
             frames = []
             first = True  # the first item is the Basic Offset Table
+            closed = False
             while pos + 8 <= n:
                 ig, ie = struct.unpack_from("<HH", buf, pos)
                 ilen = struct.unpack_from("<I", buf, pos + 4)[0]
                 pos += 8
                 if (ig, ie) == (0xFFFE, 0xE0DD):  # sequence delimiter
+                    closed = True
                     break
                 if (ig, ie) != (0xFFFE, 0xE000):
                     raise ValueError("malformed encapsulated PixelData item")
+                if pos + ilen > n:
+                    raise ValueError(
+                        "truncated encapsulated PixelData item (runs past "
+                        "end of file)")
                 item = buf[pos:pos + ilen]
                 pos += ilen
                 if first:
                     first = False
                 else:
                     frames.append(item)
+            if not closed:
+                # loud failure, matching the rest of the reader: a file cut
+                # off before the (FFFE,E0DD) sequence delimiter must not be
+                # accepted just because its last complete fragment decodes
+                raise ValueError(
+                    "truncated encapsulated PixelData: sequence delimiter "
+                    "(FFFE,E0DD) not found")
             yield (group, elem), frames
             return
         value = buf[pos:pos + length]

@@ -186,13 +186,14 @@ class _Hdr:
         if not data.dtype.isnative:
             data = np.ascontiguousarray(
                 data.astype(data.dtype.newbyteorder("=")))
-        # non-finite slope/inter means "no scaling" in the wild (nibabel
-        # special-cases NaN the same way) — applying it verbatim would NaN
-        # the whole volume silently
+        # a zero/non-finite slope means "no scaling AT ALL" (nibabel
+        # semantics: an invalid slope invalidates the whole scl transform,
+        # so the intercept is ignored too — applying inter with an implied
+        # slope of 1 would shift the volume silently)
         slope = self.scl_slope if np.isfinite(self.scl_slope) else 0.0
         inter = self.scl_inter if np.isfinite(self.scl_inter) else 0.0
-        if slope not in (0.0, 1.0) or inter != 0.0:
-            data = data.astype(np.float32) * (slope or 1.0) + inter
+        if slope != 0.0 and (slope != 1.0 or inter != 0.0):
+            data = data.astype(np.float32) * slope + inter
         return data
 
     def frame(self) -> Frame:

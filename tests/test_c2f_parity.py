@@ -327,6 +327,59 @@ def test_case_name_collisions_disambiguated(tmp_path):
                         [str(tmp_path / "b.nii.gz")]]) == ["a", "b"]
 
 
+def test_prep_channels_centered_valid_window():
+    """The 6-tuple (offset+size) valid spec reads adaptive-normalizer stats
+    from the CENTERED window — the c2f fine grid splits bucket padding
+    symmetrically around the ROI, so a corner-anchored stats crop would mix
+    fill voxels in and real content out (round-4 ADVICE)."""
+    import types
+    import jax.numpy as jnp
+    from segmentation3d_tpu.core.seg_infer import prep_channels
+    from segmentation3d_tpu.io import Volume
+    from segmentation3d_tpu.ops.geometry import Frame
+    from segmentation3d_tpu.utils.normalizer import AdaptiveNormalizer
+    rng = np.random.default_rng(0)
+    data = np.full((8, 8, 8), -1000.0, np.float32)  # fill everywhere...
+    content = rng.uniform(0.0, 100.0, (4, 4, 4)).astype(np.float32)
+    data[2:6, 2:6, 2:6] = content                   # ...except the center
+    v = Volume(data, Frame.identity())
+    norm = AdaptiveNormalizer(0.0, 1.0, clip=False)  # min/max window
+    model = types.SimpleNamespace(normalizers=[norm], interpolation="LINEAR")
+    dst_size = np.asarray([8, 8, 8])
+    centered = prep_channels(model, [v], None, v.frame, dst_size,
+                             np.asarray([2, 2, 2, 4, 4, 4]), 0.0)
+    corner = prep_channels(model, [v], None, v.frame, dst_size,
+                           np.asarray([4, 4, 4]), 0.0)
+    # centered: window == [content.min(), content.max()] -> the content's
+    # max voxel normalizes to exactly +1
+    exp = (data - content.min()) / (content.max() - content.min()) * 2 - 1
+    np.testing.assert_allclose(np.asarray(centered)[..., 0], exp, atol=1e-4)
+    # the corner-anchored window includes -1000 fill: different result
+    assert not np.allclose(np.asarray(corner), np.asarray(centered))
+
+
+def test_case_names_global_before_process_slice(tmp_path):
+    """Multi-host: name disambiguation happens on the GLOBAL case list
+    BEFORE the round-robin slice (round-4 ADVICE) — two colliding cases on
+    different processes must not both claim the same output dir. The fixed
+    composition is _process_slice(_case_names(cases))."""
+    from segmentation3d_tpu.core.seg_infer import _case_names, _process_slice
+    # both cases are <dir>/image.nii.gz with the SAME parent-dir basename
+    # ("s"), so parent-dir disambiguation also collides -> numeric suffix
+    cases = [[str(tmp_path / "a" / "s" / "image.nii.gz")],
+             [str(tmp_path / "b" / "s" / "image.nii.gz")]]
+    names = _case_names(cases)
+    assert len(set(names)) == 2
+    seen = set()
+    for pi in range(2):  # simulate the two processes' slices
+        seen |= set(_process_slice(names, process_index=pi, process_count=2))
+    assert len(seen) == 2
+    # the OLD composition (names computed per-slice) collides:
+    old = [_case_names(_process_slice(cases, process_index=pi,
+                                      process_count=2))[0] for pi in range(2)]
+    assert old[0] == old[1]  # documents the bug the fix removes
+
+
 def test_read_test_txt_miscounted_list_raises(tmp_path):
     from segmentation3d_tpu.core.seg_infer import read_test_txt
     p = str(tmp_path / "bad.txt")

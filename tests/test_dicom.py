@@ -173,6 +173,24 @@ def test_rle_series_roundtrip(tmp_path):
     assert size(rle_dir) < size(raw_dir)
 
 
+def test_truncated_encapsulated_pixeldata_raises(tmp_path):
+    """A file cut off before the (FFFE,E0DD) sequence delimiter raises
+    loudly instead of silently yielding whatever fragments happened to be
+    complete (round-4 ADVICE)."""
+    import pytest
+    from segmentation3d_tpu.io.dicom import write_dicom_series, _read_file
+    from segmentation3d_tpu.ops.geometry import Frame
+    vol = np.zeros((1, 8, 8), np.int16)
+    d = str(tmp_path / "rle")
+    (path,) = write_dicom_series(d, vol, Frame.identity(), compress="rle")
+    blob = open(path, "rb").read()
+    # chop off the trailing 8-byte sequence delimiter item
+    assert blob.endswith(b"\xfe\xff\xdd\xe0\x00\x00\x00\x00")
+    open(path, "wb").write(blob[:-8])
+    with pytest.raises(ValueError, match="delimiter"):
+        _read_file(path)
+
+
 def test_jpeg_family_still_clear_error(tmp_path):
     """JPEG transfer syntaxes keep the explicit unsupported error."""
     from segmentation3d_tpu.io.dicom import write_dicom_series, _read_file

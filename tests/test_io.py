@@ -346,6 +346,25 @@ def test_nifti_nan_scl_slope_means_unscaled(tmp_path):
     np.testing.assert_array_equal(np.asarray(back.data, np.int16), data)
 
 
+def test_nifti_invalid_slope_ignores_intercept(tmp_path):
+    """A zero/NaN scl_slope invalidates the WHOLE scl transform (nibabel
+    semantics): a finite nonzero scl_inter must NOT be applied with an
+    implied slope of 1 (round-4 ADVICE)."""
+    import struct
+    from segmentation3d_tpu.io import Volume, read_image, write_image
+    from segmentation3d_tpu.ops.geometry import Frame
+    data = np.arange(2 * 3 * 4, dtype=np.int16).reshape(2, 3, 4)
+    for slope in (float("nan"), 0.0):
+        p = str(tmp_path / f"slope_{slope}.nii")
+        write_image(Volume(data, Frame.identity()), p)
+        blob = bytearray(open(p, "rb").read())
+        struct.pack_into("<f", blob, 112, slope)   # scl_slope invalid
+        struct.pack_into("<f", blob, 116, 100.0)   # scl_inter finite nonzero
+        open(p, "wb").write(bytes(blob))
+        back = read_image(p)
+        np.testing.assert_array_equal(np.asarray(back.data, np.int16), data)
+
+
 def test_mha_multichannel_rejected(tmp_path):
     """A multi-channel MetaImage raises instead of silently misreading the
     interleaved samples as a scrambled scalar volume."""

@@ -79,6 +79,34 @@ def test_per_class_dice_values(tmp_path):
     np.testing.assert_allclose(mean, (1.0 + expected_c2) / 2, atol=1e-6)
 
 
+def test_on_device_dice_matches_host_scoring(tmp_path):
+    """SlidingWindowInferer.dice (the round-5 on-device scoring — only
+    2*(NC-1) floats cross the link) returns EXACTLY the per-class Dice the
+    host-side numpy scoring computes from the full mask readback, including
+    the valid-region exclusion."""
+    from segmentation3d_tpu.core.infer_engine import SlidingWindowInferer
+    rng = np.random.default_rng(3)
+    shape = (32, 32, 32)        # padded bucket shape
+    valid = (26, 28, 30)        # unpadded region (zyx)
+    nc = 3
+    img = rng.integers(0, nc, shape).astype(np.float32)
+    gt = rng.integers(0, nc, shape).astype(np.int32)
+    net = _RoundNet(nc)
+    inf = SlidingWindowInferer(net, shape, nc, batch_size=1,
+                               blend="constant")
+    vol = jnp.asarray(img)[..., None]
+    dev = inf.dice({}, vol, jnp.asarray(gt, jnp.float32), valid)
+    # host scoring from the full mask (the pre-round-5 path)
+    pred = np.asarray(inf({}, vol))
+    p = pred[:valid[0], :valid[1], :valid[2]]
+    g = gt[:valid[0], :valid[1], :valid[2]]
+    for c in range(1, nc):
+        inter = float(((p == c) & (g == c)).sum())
+        denom = float((p == c).sum() + (g == c).sum())
+        np.testing.assert_allclose(dev[c - 1], 2 * inter / max(denom, 1.0),
+                                   rtol=1e-6)
+
+
 def test_plot_val_curve(tmp_path):
     from segmentation3d_tpu.utils.plotting import plot_val_curve
     # absent / empty csv: no-op
