@@ -41,7 +41,12 @@ _UNCOMPRESSED = {
     "1.2.840.10008.1.2.1",      # explicit VR LE
 }
 _RLE_LOSSLESS = "1.2.840.10008.1.2.5"   # PS3.5 Annex G (PackBits segments)
-_SUPPORTED = _UNCOMPRESSED | {_RLE_LOSSLESS}
+# JPEG Lossless, Non-Hierarchical (T.81 process 14) — first-party codec in
+# io/jpeg_lossless.py (round-5): .57 = any predictor, .70 = first-order
+# prediction (SV1), the common archival syntax
+_JPEG_LOSSLESS = {"1.2.840.10008.1.2.4.57", "1.2.840.10008.1.2.4.70"}
+_JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
+_SUPPORTED = _UNCOMPRESSED | {_RLE_LOSSLESS} | _JPEG_LOSSLESS
 
 
 def _parse_elements(buf: bytes, start: int, explicit: bool, stop_tag=TAG_PIXEL_DATA):
@@ -228,7 +233,8 @@ def _read_file(path: str) -> dict:
         if transfer not in _SUPPORTED:
             raise ValueError(
                 f"{path}: compressed transfer syntax {transfer} unsupported "
-                f"(native LE and RLE Lossless {_RLE_LOSSLESS} are supported; "
+                f"(native LE, RLE Lossless {_RLE_LOSSLESS} and JPEG "
+                f"Lossless {sorted(_JPEG_LOSSLESS)} are supported; lossy "
                 "JPEG families are not — transcode with e.g. gdcmconv)")
         # find where group 0002 ends: re-scan body from after the meta group
         meta_len = None
@@ -302,16 +308,31 @@ def read_dicom_series(folder: str):
         raw = e.get(TAG_PIXEL_DATA)
         if raw is None:
             continue
-        if isinstance(raw, list):  # encapsulated frames (RLE Lossless)
+        if isinstance(raw, list):  # encapsulated frames (compressed)
             transfer = _decode(e, TAG_TRANSFER_SYNTAX, "str", "")
-            if transfer != _RLE_LOSSLESS:
+            if transfer == _RLE_LOSSLESS:
+                if len(raw) != 1:
+                    raise ValueError(
+                        f"{p}: expected one RLE fragment per single-frame "
+                        f"file, got {len(raw)}")
+                raw = _rle_decode_frame(raw[0], rows * cols, bits // 8)
+            elif transfer in _JPEG_LOSSLESS:
+                # a single frame may span several fragments — the stream is
+                # their concatenation (PS3.5 A.4)
+                from segmentation3d_tpu.io.jpeg_lossless import (
+                    decode_jpeg_lossless)
+                arr = decode_jpeg_lossless(b"".join(raw))
+                if arr.shape != (rows, cols):
+                    raise ValueError(
+                        f"{p}: JPEG frame is {arr.shape}, header says "
+                        f"({rows}, {cols})")
+                # stored (unsigned) view bytes; PixelRepresentation re-
+                # interprets below exactly as for native pixels
+                raw = arr.astype(np.uint16 if bits == 16
+                                 else np.uint8).tobytes()
+            else:
                 raise ValueError(
                     f"{p}: encapsulated transfer syntax {transfer} unsupported")
-            if len(raw) != 1:
-                raise ValueError(
-                    f"{p}: expected one RLE fragment per single-frame file, "
-                    f"got {len(raw)}")
-            raw = _rle_decode_frame(raw[0], rows * cols, bits // 8)
         dtype = {8: np.int8 if signed else np.uint8,
                  16: np.int16 if signed else np.uint16,
                  32: np.int32 if signed else np.uint32}[bits]
@@ -387,7 +408,9 @@ def write_dicom_series(folder: str, data: np.ndarray, frame: Frame,
                        compress: str | None = None) -> list[str]:
     """Write ``data [z,y,x]`` as one DICOM file per slice — explicit-VR-LE
     native pixels by default, ``compress="rle"`` for RLE Lossless
-    (``1.2.840.10008.1.2.5``, encapsulated PackBits byte planes).
+    (``1.2.840.10008.1.2.5``, encapsulated PackBits byte planes), or
+    ``compress="jpeg_lossless"`` for JPEG Lossless SV1
+    (``1.2.840.10008.1.2.4.70``, first-party T.81 process-14 codec).
 
     Float data is linearly quantized to int16 and the inverse map recorded
     as RescaleSlope/RescaleIntercept, so ``read_dicom_series`` (or any DICOM
@@ -397,8 +420,9 @@ def write_dicom_series(folder: str, data: np.ndarray, frame: Frame,
     data = np.asarray(data)
     if data.ndim != 3:
         raise ValueError(f"expected [z,y,x] volume, got shape {data.shape}")
-    if compress not in (None, "rle"):
-        raise ValueError(f"compress must be None or 'rle', got {compress!r}")
+    if compress not in (None, "rle", "jpeg_lossless"):
+        raise ValueError("compress must be None, 'rle' or 'jpeg_lossless', "
+                         f"got {compress!r}")
     os.makedirs(folder, exist_ok=True)
     series_uid = series_uid or _new_uid()
 
@@ -441,8 +465,16 @@ def write_dicom_series(folder: str, data: np.ndarray, frame: Frame,
             _elem(0x0028, 0x1052, b"DS", _ds(intercept)),
             _elem(0x0028, 0x1053, b"DS", _ds(slope)),
         ])
-        if compress == "rle":
-            blob = _rle_encode_frame(stored[k])
+        if compress in ("rle", "jpeg_lossless"):
+            if compress == "rle":
+                blob = _rle_encode_frame(stored[k])
+            else:
+                from segmentation3d_tpu.io.jpeg_lossless import (
+                    encode_jpeg_lossless)
+                blob = encode_jpeg_lossless(
+                    stored[k].view(np.uint16), precision=16, predictor=1)
+            if len(blob) % 2:
+                blob += b"\x00"  # fragments must be even-length
             body += struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0,
                                 0xFFFFFFFF)
             body += struct.pack("<HHI", 0xFFFE, 0xE000, 0)  # empty BOT item
@@ -450,7 +482,8 @@ def write_dicom_series(folder: str, data: np.ndarray, frame: Frame,
             body += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)  # seq delimiter
         else:
             body += _elem(0x7FE0, 0x0010, b"OW", stored[k].tobytes())
-        transfer = _RLE_LOSSLESS if compress == "rle" else _EXPLICIT_LE
+        transfer = {None: _EXPLICIT_LE, "rle": _RLE_LOSSLESS,
+                    "jpeg_lossless": _JPEG_LOSSLESS_SV1}[compress]
         meta_tail = b"".join([
             _elem(0x0002, 0x0002, b"UI", _SC_SOP_CLASS.encode()),
             _elem(0x0002, 0x0003, b"UI", sop_uid.encode()),

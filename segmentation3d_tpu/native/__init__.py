@@ -98,6 +98,11 @@ def _declare(lib) -> None:
     for fn in ("seg3d_minmax_i16", "seg3d_minmax_u16", "seg3d_sub_u8",
                "seg3d_pack12_u16", "seg3d_unpack_bits"):
         getattr(lib, fn).restype = None
+    # JPEG Lossless scan decoder (io/jpeg_lossless.py's hot loop)
+    lib.seg3d_jpegll_decode.argtypes = [
+        u8p, ctypes.c_size_t, u8p, u8p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, u16p]
+    lib.seg3d_jpegll_decode.restype = ctypes.c_int
     # optional libdeflate-backed gzip (absent when built without the lib)
     try:
         szp = ctypes.POINTER(ctypes.c_size_t)

@@ -93,6 +93,92 @@ void seg3d_unpack_bits(const uint8_t* in, size_t nbytes, int bits,
     }
 }
 
+// ---------------------------------------------------------------------------
+// JPEG Lossless (T.81 process 14) scan decoder — the per-sample hot loop of
+// io/jpeg_lossless.py (round-5; see that module for the format notes). The
+// Python side parses markers and builds the 16-bit Huffman peek LUT; this
+// function decodes one frame's entropy-coded scan. Must stay in EXACT
+// agreement with jpeg_lossless._decode_scan_py (parity-tested).
+// Returns 0 ok, 2 = invalid Huffman code.
+int seg3d_jpegll_decode(const uint8_t* scan, size_t n,
+                        const uint8_t* lut_sym, const uint8_t* lut_len,
+                        int width, int height, int precision, int predictor,
+                        int pt, int restart_interval, uint16_t* out) {
+    uint32_t bitbuf = 0;
+    int nbits = 0;
+    size_t pos = 0;
+    int def_px = 1 << (precision - pt - 1);
+    int reset = 1;
+    long until_rst = restart_interval ? restart_interval : -1;
+
+    #define JLL_FILL() do { \
+        while (nbits <= 24) { \
+            uint8_t b; \
+            if (pos >= n) { bitbuf <<= 8; nbits += 8; continue; } \
+            b = scan[pos]; \
+            if (b == 0xFF) { \
+                uint8_t nxt = (pos + 1 < n) ? scan[pos + 1] : 0xD9; \
+                if (nxt == 0x00) { pos += 2; } \
+                else { bitbuf <<= 8; nbits += 8; continue; } \
+            } else { pos += 1; } \
+            bitbuf = (bitbuf << 8) | b; nbits += 8; \
+        } \
+    } while (0)
+
+    for (int row = 0; row < height; ++row) {
+        uint16_t* orow = out + (size_t)row * width;
+        for (int col = 0; col < width; ++col) {
+            if (until_rst == 0) {
+                while (pos + 1 < n && !(scan[pos] == 0xFF &&
+                                        scan[pos + 1] >= 0xD0 &&
+                                        scan[pos + 1] <= 0xD7))
+                    ++pos;
+                if (pos + 1 < n) pos += 2;
+                bitbuf = 0; nbits = 0; reset = 1;
+                until_rst = restart_interval;
+            }
+            JLL_FILL();
+            uint16_t peek = (uint16_t)((bitbuf >> (nbits - 16)) & 0xFFFF);
+            int ssss = lut_sym[peek];
+            int len = lut_len[peek];
+            if (len == 0) return 2;
+            nbits -= len;
+            int32_t diff;
+            if (ssss == 16) diff = 32768;
+            else if (ssss == 0) diff = 0;
+            else {
+                JLL_FILL();
+                uint32_t v = (bitbuf >> (nbits - ssss)) & ((1u << ssss) - 1);
+                nbits -= ssss;
+                diff = (v >= (1u << (ssss - 1))) ? (int32_t)v
+                     : (int32_t)v - (1 << ssss) + 1;
+            }
+            int32_t px;
+            if (reset) { px = def_px; reset = 0; }
+            else if (row == 0) px = orow[col - 1];
+            else if (col == 0) px = orow[-width];
+            else {
+                int32_t ra = orow[col - 1];
+                int32_t rb = orow[col - width];
+                int32_t rc = orow[col - width - 1];
+                switch (predictor) {
+                    case 1: px = ra; break;
+                    case 2: px = rb; break;
+                    case 3: px = rc; break;
+                    case 4: px = ra + rb - rc; break;
+                    case 5: px = ra + ((rb - rc) >> 1); break;
+                    case 6: px = rb + ((ra - rc) >> 1); break;
+                    default: px = (ra + rb) >> 1; break;
+                }
+            }
+            orow[col] = (uint16_t)((px + diff) & 0xFFFF);
+            if (until_rst > 0) --until_rst;
+        }
+    }
+    #undef JLL_FILL
+    return 0;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -206,6 +206,31 @@ def test_infer_on_folder(trained_model, tmp_path):
     assert sorted(os.listdir(out)) == ["a", "b"]
 
 
+def test_infer_jpeg_lossless_dicom_folder(trained_model, tmp_path):
+    """seg_infer drives a JPEG-Lossless (1.2.840.10008.1.2.4.70) DICOM
+    series folder end-to-end (round-5 VERDICT #4 done-criterion): the mask
+    matches the one produced from the same case's NIfTI file."""
+    root, cases, save_dir, _ = trained_model
+    from segmentation3d_tpu.core.seg_infer import segmentation
+    from segmentation3d_tpu.io import read_image
+    from segmentation3d_tpu.io.dicom import write_dicom_series
+    img = read_image(cases[0][0][0])
+    series = tmp_path / "series"
+    write_dicom_series(str(series), np.asarray(img.data).astype(np.int16),
+                       img.frame, compress="jpeg_lossless")
+    out_d = str(tmp_path / "out_dcm")
+    out_n = str(tmp_path / "out_nii")
+    rd = segmentation(str(series), save_dir, out_d, seg_name="seg.nii.gz",
+                      batch_size=1)
+    rn = segmentation(cases[0][0][0], save_dir, out_n, seg_name="seg.nii.gz",
+                      batch_size=1)
+    assert len(rd) == 1 and len(rn) == 1
+    md = read_image(os.path.join(out_d, rd[0][0], "seg.nii.gz"))
+    mn = read_image(os.path.join(out_n, rn[0][0], "seg.nii.gz"))
+    d = _dice(np.asarray(md.data), np.asarray(mn.data))
+    assert d >= 0.99, f"DICOM-vs-NIfTI mask Dice {d:.3f}"
+
+
 def test_corrupt_case_is_skipped_not_fatal(trained_model, tmp_path):
     """One unreadable file among many must fail ONLY that case (the
     reference's per-case loop semantics, SURVEY.md §3.2) — the others still
