@@ -121,13 +121,35 @@ class _BatchPrefetcher:
         return item
 
 
-def _make_step_body(net, loss_fn, apply_fn, packed_loss, optimizer):
+def _batch_spec(mesh, leading=0):
+    """NamedSharding pinning a batch array's (batch, z) dims to the
+    ``(data, spatial)`` mesh axes (``leading`` extra unsharded dims first);
+    None when the mesh has no spatial axis (1-D data meshes need no
+    constraint — placement propagates)."""
+    if mesh is None or "spatial" not in mesh.axis_names:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec
+    return NamedSharding(
+        mesh, PartitionSpec(*([None] * leading), "data", "spatial"))
+
+
+def _make_step_body(net, loss_fn, apply_fn, packed_loss, optimizer,
+                    mesh=None):
     """The un-jitted single-step body shared by the one-step and the
     multi-step (scan) programs."""
     apply = apply_fn if apply_fn is not None else net.apply
     loss_call = packed_loss if packed_loss is not None else loss_fn
+    spec = _batch_spec(mesh)
 
     def body(params, batch_stats, opt_state, images, segs):
+        if spec is not None:
+            # spatial training shard (cfg.tpu.mesh.spatial): the crop
+            # z-axis rides the 'spatial' mesh axis — GSPMD partitions every
+            # conv with halo exchanges and psums the BN/loss reductions, so
+            # no chip holds the full crop's activations
+            images = jax.lax.with_sharding_constraint(images, spec)
+            segs = jax.lax.with_sharding_constraint(segs, spec)
+
         def loss_of(p):
             probs, mutated = apply(
                 {"params": p, "batch_stats": batch_stats}, images,
@@ -142,7 +164,8 @@ def _make_step_body(net, loss_fn, apply_fn, packed_loss, optimizer):
     return body
 
 
-def make_train_step(net, loss_fn, optimizer, apply_fn=None, packed_loss=None):
+def make_train_step(net, loss_fn, optimizer, apply_fn=None, packed_loss=None,
+                    mesh=None):
     """Build the jitted SPMD train step (donated params/opt/batch-stats).
 
     ``apply_fn``: optional replacement for ``net.apply`` with the same
@@ -152,8 +175,11 @@ def make_train_step(net, loss_fn, optimizer, apply_fn=None, packed_loss=None):
     ``apply_fn`` emits packed-layout probabilities
     (``build_packed_train_apply(net, packed_probs=True)`` +
     ``losses.packed.make_packed_loss`` — same scalar, no thin-channel
-    unpacked tensors in the loss)."""
-    body = _make_step_body(net, loss_fn, apply_fn, packed_loss, optimizer)
+    unpacked tensors in the loss). ``mesh``: a 2-D ``(data, spatial)``
+    mesh constrains the crop z-axis onto ``spatial`` (see
+    :func:`segmentation3d_tpu.parallel.make_mesh`)."""
+    body = _make_step_body(net, loss_fn, apply_fn, packed_loss, optimizer,
+                           mesh=mesh)
     return functools.partial(jax.jit, donate_argnums=(0, 1, 2))(body)
 
 
@@ -185,12 +211,15 @@ def make_accum_train_step(net, loss_fn, optimizer, accum, apply_fn=None,
         im = images.reshape((accum, mb) + images.shape[1:])
         sg = segs.reshape((accum, mb) + segs.shape[1:])
         if mesh is not None and mesh.devices.size > 1:
-            # pin the microbatch axis (dim 1) to the data mesh: without the
-            # constraint GSPMD may propagate the incoming batch's 'data'
-            # sharding onto the scanned accum axis (dim 0), inserting
-            # resharding collectives per microbatch
-            from jax.sharding import NamedSharding, PartitionSpec
-            s = NamedSharding(mesh, PartitionSpec(None, "data"))
+            # pin the microbatch axis (dim 1) to the data mesh (and crop z
+            # to 'spatial' when present): without the constraint GSPMD may
+            # propagate the incoming batch's sharding onto the scanned
+            # accum axis (dim 0), inserting resharding collectives per
+            # microbatch
+            s = _batch_spec(mesh, leading=1)
+            if s is None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                s = NamedSharding(mesh, PartitionSpec(None, "data"))
             im = jax.lax.with_sharding_constraint(im, s)
             sg = jax.lax.with_sharding_constraint(sg, s)
 
@@ -221,7 +250,7 @@ def make_accum_train_step(net, loss_fn, optimizer, accum, apply_fn=None,
 
 
 def make_multi_train_step(net, loss_fn, optimizer, k, apply_fn=None,
-                          packed_loss=None):
+                          packed_loss=None, mesh=None):
     """``k`` sequential train steps fused into ONE jitted program
     (``lax.scan`` over the single-step body; batch stacking happens INSIDE
     the jit so one dispatch covers the whole group).
@@ -233,7 +262,8 @@ def make_multi_train_step(net, loss_fn, optimizer, k, apply_fn=None,
     state thread through the scan carry; returns the per-step losses
     ``[k]``. Call as ``multi_step(params, stats, opt, *images_k, *segs_k)``
     with ``k`` image and ``k`` seg batches."""
-    body = _make_step_body(net, loss_fn, apply_fn, packed_loss, optimizer)
+    body = _make_step_body(net, loss_fn, apply_fn, packed_loss, optimizer,
+                           mesh=mesh)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def multi_step(params, batch_stats, opt_state, *flat):
@@ -419,13 +449,34 @@ def train(config_file: str):
         logger.info(f"resumed from {chk} (epoch {resume_epoch})")
 
     # mesh: cfg.tpu.mesh.data wins if set; else cfg.general.num_gpus maps onto
-    # the data-parallel mesh size (reference configs scale unmodified)
-    mesh_size = int(cfg.get("tpu", {}).get("mesh", {}).get("data", 0)) \
+    # the data-parallel mesh size (reference configs scale unmodified).
+    # cfg.tpu.mesh.spatial = S > 1 (ADDITIVE) additionally shards the crop
+    # z-axis S-ways over a 2-D (data, spatial) mesh — GSPMD halo-exchanges
+    # the convs and psums the BN/loss reductions, so crops whose activations
+    # OOM one chip train across the mesh (the training analog of
+    # core.spatial_shard's inference mode).
+    mesh_cfg = cfg.get("tpu", {}).get("mesh", {})
+    spatial = max(1, int(mesh_cfg.get("spatial", 1) or 1))
+    data_size = int(mesh_cfg.get("data", 0)) \
         or int(cfg.general.get("num_gpus", -1) or -1)
-    mesh = make_mesh(mesh_size)
+    mesh = make_mesh(data_size * spatial if data_size > 0 else -1,
+                     spatial=spatial)
+    if spatial > 1:
+        if conv_backend == "packed_domain":
+            raise ValueError(
+                "cfg.tpu.mesh.spatial > 1 requires conv_backend 'direct' or "
+                "'window' (the packed-domain forward's channel-minor "
+                "reshapes do not GSPMD-partition along z)")
+        if int(crop_size[2]) % (spatial * max_stride) != 0:
+            raise ValueError(
+                f"crop_size z = {int(crop_size[2])} must divide by "
+                f"spatial mesh {spatial} * max_stride {max_stride} so every "
+                "resolution level shards evenly")
     n_dev = mesh.devices.size
-    if batchsize % n_dev != 0 and n_dev > 1:
-        raise ValueError(f"batchsize {batchsize} must divide over {n_dev} devices")
+    n_data = mesh.shape["data"]
+    if batchsize % n_data != 0 and n_data > 1:
+        raise ValueError(f"batchsize {batchsize} must divide over the "
+                         f"data mesh axis ({n_data})")
     if batchsize % jax.process_count() != 0:
         raise ValueError(f"batchsize {batchsize} must divide over "
                          f"{jax.process_count()} processes")
@@ -453,18 +504,18 @@ def train(config_file: str):
             raise ValueError(f"batchsize {batchsize} must divide by "
                              f"grad_accum_steps {grad_accum}")
         micro = batchsize // grad_accum
-        if n_dev > 1 and micro % n_dev != 0:
+        if n_data > 1 and micro % n_data != 0:
             raise ValueError(
                 f"microbatch {micro} (batchsize {batchsize} / "
-                f"grad_accum_steps {grad_accum}) must divide over {n_dev} "
-                "devices")
+                f"grad_accum_steps {grad_accum}) must divide over the "
+                f"data mesh axis ({n_data})")
         train_step = make_accum_train_step(
             net, loss_fn, optimizer, grad_accum, apply_fn=apply_fn,
             packed_loss=packed_loss, mesh=mesh)
     else:
         train_step = make_train_step(net, loss_fn, optimizer,
                                      apply_fn=apply_fn,
-                                     packed_loss=packed_loss)
+                                     packed_loss=packed_loss, mesh=mesh)
     # cfg.tpu.steps_per_dispatch = K > 1 fuses K train steps into one
     # program (make_multi_train_step): one ~20 ms relay dispatch per K
     # steps instead of per step. Semantics identical (scan carry); groups
@@ -483,7 +534,7 @@ def train(config_file: str):
     if steps_per_dispatch > 1:
         multi_step = make_multi_train_step(
             net, loss_fn, optimizer, steps_per_dispatch, apply_fn=apply_fn,
-            packed_loss=packed_loss)
+            packed_loss=packed_loss, mesh=mesh)
 
     loss_csv = os.path.join(save_dir, "train_loss.csv")
     if primary and not os.path.isfile(loss_csv):

@@ -15,18 +15,39 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(num_devices: int = -1, devices=None) -> Mesh:
-    """1-D data-parallel mesh over the first ``num_devices`` local devices."""
+def make_mesh(num_devices: int = -1, devices=None, spatial: int = 1) -> Mesh:
+    """Data-parallel mesh over the first ``num_devices`` local devices.
+
+    ``spatial > 1`` builds a 2-D ``(data, spatial)`` mesh instead: the crop
+    z-axis is sharded ``spatial``-ways during training (GSPMD inserts the
+    conv halo exchanges and the cross-shard BN/loss reductions), so crops
+    too large for one chip's HBM train across the mesh — the training-side
+    analog of :mod:`segmentation3d_tpu.core.spatial_shard`'s inference mode
+    (SURVEY §5 long-context row). ``num_devices`` stays the TOTAL device
+    count and must divide by ``spatial``."""
     if devices is None:
         devices = jax.devices()
     if num_devices is None or num_devices <= 0:
         num_devices = len(devices)
     num_devices = min(num_devices, len(devices))
+    spatial = max(1, int(spatial))
+    if spatial > 1:
+        if num_devices % spatial != 0:
+            raise ValueError(
+                f"{num_devices} device(s) do not divide over a spatial "
+                f"mesh axis of {spatial}")
+        arr = np.asarray(devices[:num_devices]).reshape(
+            num_devices // spatial, spatial)
+        return Mesh(arr, ("data", "spatial"))
     return Mesh(np.asarray(devices[:num_devices]), ("data",))
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch-axis sharding: leading dim split over the ``data`` axis."""
+    """Batch sharding: leading dim split over ``data``; on a 2-D
+    ``(data, spatial)`` mesh the second dim (crop z) splits over
+    ``spatial`` too."""
+    if "spatial" in mesh.axis_names:
+        return NamedSharding(mesh, P("data", "spatial"))
     return NamedSharding(mesh, P("data"))
 
 
