@@ -101,7 +101,8 @@ def main(argv=None):
         from segmentation3d_tpu.core.coarse_to_fine import (
             segmentation_coarse_to_fine)
 
-        def run_fn(input_path, output_dir, seg_name, save_image, save_prob):
+        def run_fn(input_path, output_dir, seg_name, save_image, save_prob,
+                   prepared=None):
             return segmentation_coarse_to_fine(
                 input_path=input_path, coarse_model_dir=args.model[0],
                 fine_model_dir=args.fine_model, output_dir=output_dir,
@@ -112,9 +113,11 @@ def main(argv=None):
                 dtype=dtype, save_image=save_image, save_prob=save_prob,
                 post_processing=post, blend=args.blend,
                 num_devices=args.num_devices, quant=quant,
-                act_clip=args.act_clip, calib_image=calib, tta=args.tta)
+                act_clip=args.act_clip, calib_image=calib, tta=args.tta,
+                prepared=prepared)
     else:
-        def run_fn(input_path, output_dir, seg_name, save_image, save_prob):
+        def run_fn(input_path, output_dir, seg_name, save_image, save_prob,
+                   prepared=None):
             return segmentation(
                 input_path=input_path,
                 model_dir=args.model[0] if len(args.model) == 1
@@ -129,7 +132,7 @@ def main(argv=None):
                 num_devices=args.num_devices,
                 spatial_shard=args.spatial_shard, quant=quant,
                 act_clip=args.act_clip, calib_image=calib, tta=args.tta,
-                checkpoint=args.checkpoint)
+                checkpoint=args.checkpoint, prepared=prepared)
 
     if args.warmup:
         import tempfile
@@ -139,12 +142,22 @@ def main(argv=None):
             run_fn(args.warmup, tmp, args.seg_name, False, False)
         print(f"seg_serve: warmup done in {time.time() - t0:.1f} s")
 
+    # prep stage: start the next queued request's case discovery + two-stage
+    # read-ahead (decode + stored-dtype H2D) while the current request's
+    # device compute runs — a burst then costs ~max(host, device) per
+    # request instead of their sum (round-5; core/serve.py exec model)
+    from segmentation3d_tpu.core.seg_infer import prepare_cases
+
+    def prep_fn(req):
+        return prepare_cases(str(req["input"]))
+
     server = SegmentationServer(run_fn, ",".join(args.model),
                                 seg_name=args.seg_name)
     serve_forever(server, socket_path=args.socket,
                   host=args.host, port=args.port,
                   idle_timeout=args.idle_timeout,
-                  max_request_bytes=args.max_request_bytes)
+                  max_request_bytes=args.max_request_bytes,
+                  prep_fn=prep_fn)
 
 
 if __name__ == "__main__":

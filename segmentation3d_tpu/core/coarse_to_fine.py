@@ -397,7 +397,8 @@ def segmentation_coarse_to_fine(
         dtype=jnp.float32, save_image=False, save_prob=False,
         post_processing=None, quant=None, act_clip=8.0,
         calib_image=None, tta=None, blend="gaussian", num_devices=1,
-        shape_bucket=32, coarse_checkpoint=None, fine_checkpoint=None):
+        shape_bucket=32, coarse_checkpoint=None, fine_checkpoint=None,
+        prepared=None):
     """Batch driver mirroring ``core.seg_infer.segmentation`` for the
     two-pass pipeline — same host machinery (two-stage read-ahead /
     write-behind, per-case failure isolation, multi-host case slicing) and
@@ -467,23 +468,28 @@ def segmentation_coarse_to_fine(
     # the session may have rounded the patch up to the fine model's stride
     patch, stride = sess["patch"], sess["stride"]
 
-    cases = find_cases(input_path)
-    n_global = len(cases)
     # names disambiguate over the GLOBAL list before the round-robin slice
-    # (colliding names on different processes must not share an output dir)
-    names = _process_slice(_case_names(cases))
-    cases = _process_slice(cases)  # multi-host round-robin (seg_infer P2)
+    # (colliding names on different processes must not share an output dir);
+    # ``prepared`` (seg_infer.prepare_cases) carries an already-running
+    # read-ahead so a server can overlap this request's host reads with the
+    # previous request's device compute (round-5)
+    from segmentation3d_tpu.core.seg_infer import PreparedInput
+    if prepared is None:
+        prepared = PreparedInput(input_path)
+    elif prepared.input_path != input_path:
+        raise ValueError(f"prepared input is for {prepared.input_path!r}, "
+                         f"not {input_path!r}")
+    cases, names, reader = prepared.cases, prepared.names, prepared.reader
     os.makedirs(output_dir, exist_ok=True)
     if not cases:
-        _announce_no_cases(n_global, input_path)
+        _announce_no_cases(prepared.n_global, input_path)
         return []
 
     results = []
     failures = []
     writer = _WriteBehind()
     try:
-        for (image_paths, vols, devs, read_err), name in zip(
-                _ReadAhead(cases), names):
+        for (image_paths, vols, devs, read_err), name in zip(reader, names):
             if read_err is not None:
                 print(f"ERROR: skipping {name}: {read_err}")
                 failures.append((name, read_err))

@@ -602,13 +602,40 @@ def _calibrate_for_model(model: SegModel, image_paths, dtype, cap: int = 192):
         head_p=head_p_for(x.shape[2], model.out_channels))
 
 
+class PreparedInput:
+    """An input whose case discovery and two-stage read-ahead (decode +
+    stored-dtype device upload) already STARTED — built by
+    :func:`prepare_cases`, consumed by :func:`segmentation` /
+    ``segmentation_coarse_to_fine`` via ``prepared=``. This is how
+    ``seg_serve`` overlaps the NEXT queued request's host work (file read,
+    gunzip, bit-pack, H2D) with the current request's device compute
+    (round-5; the reader threads are the same `_ReadAhead` machinery the
+    batch drivers pipeline cases with)."""
+
+    def __init__(self, input_path):
+        self.input_path = input_path
+        cases = find_cases(input_path)
+        self.n_global = len(cases)
+        self.names = _process_slice(_case_names(cases))
+        self.cases = _process_slice(cases)
+        self.reader = _ReadAhead(self.cases) if self.cases else None
+
+
+def prepare_cases(input_path) -> PreparedInput:
+    """Start reading ``input_path``'s cases in the background; pass the
+    result as ``segmentation(..., prepared=...)``. Purely host/transfer
+    work — model-independent, so it can run while another request computes."""
+    return PreparedInput(input_path)
+
+
 def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
                  gpu_id=0, save_image=False, save_prob=False,
                  partition_type=DISABLE, partition_size=None, partition_stride=None,
                  batch_size=8, blend="gaussian", post_processing=None,
                  dtype=jnp.float32, fused=None, shape_bucket=64,
                  num_devices=1, spatial_shard=False, quant=None,
-                 act_clip=8.0, calib_image=None, tta=None, checkpoint=None):
+                 act_clip=8.0, calib_image=None, tta=None, checkpoint=None,
+                 prepared=None):
     """Segment all cases found at ``input_path`` — the reference's public
     entry (``core/seg_infer.py:segmentation`` ≈L270-340).
 
@@ -775,22 +802,26 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
     if partition_type not in (DISABLE, SIZE, NUM, SLAB):
         raise NotImplementedError(f"partition_type {partition_type}")
 
-    cases = find_cases(input_path)
     # multi-host batch inference is embarrassingly parallel: each process
     # takes a deterministic round-robin slice of the case list, runs it on
     # its local chips, and writes into the (shared) output_dir. Launch one
     # process per host via jax.distributed.initialize, same input/output
     # args everywhere; the returned results cover THIS process's slice.
-    n_global = len(cases)
-    # output names are disambiguated over the GLOBAL list before slicing:
+    # Output names are disambiguated over the GLOBAL list before slicing:
     # two colliding cases that land on different processes would otherwise
-    # each locally see no duplicate and clobber one shared output dir
-    names = _case_names(cases)
-    cases = _process_slice(cases)
-    names = _process_slice(names)
+    # each locally see no duplicate and clobber one shared output dir.
+    # ``prepared`` (a PreparedInput) carries case discovery + an already-
+    # running read-ahead, so a server can overlap this request's host reads
+    # with the previous request's device compute.
+    if prepared is None:
+        prepared = PreparedInput(input_path)
+    elif prepared.input_path != input_path:
+        raise ValueError(f"prepared input is for {prepared.input_path!r}, "
+                         f"not {input_path!r}")
+    cases, names, reader = prepared.cases, prepared.names, prepared.reader
     os.makedirs(output_dir, exist_ok=True)
     if not cases:
-        _announce_no_cases(n_global, input_path)
+        _announce_no_cases(prepared.n_global, input_path)
         return []
 
     inferers = sess["inferers"]
@@ -802,7 +833,7 @@ def segmentation(input_path, model_dir, output_dir, seg_name="seg.mha",
                    partition_size, partition_stride, batch_size, blend,
                    spatial_shard, shape_bucket, save_image, save_prob,
                    post_processing, output_dir, seg_name, inferers, results,
-                   failures, writer, tta=tta, names=names)
+                   failures, writer, tta=tta, names=names, reader=reader)
     finally:
         # the writer is drained even when the loop is aborted (KeyboardInterrupt,
         # a config-level error): cases already reported successful must not
@@ -865,12 +896,13 @@ def _case_loop(cases, models, mesh, fused_forward_for, partition_type,
                partition_size, partition_stride, batch_size, blend,
                spatial_shard, shape_bucket, save_image, save_prob,
                post_processing, output_dir, seg_name, inferers, results,
-               failures, writer, tta=(), names=None):
+               failures, writer, tta=(), names=None, reader=None):
     model = models[0]
     if names is None:  # single-process callers; multi-host passes the
         names = _case_names(cases)  # globally-disambiguated slice in
-    for (image_paths, vols, devs, read_err), case_name in zip(
-            _ReadAhead(cases), names):
+    if reader is None:
+        reader = _ReadAhead(cases)
+    for (image_paths, vols, devs, read_err), case_name in zip(reader, names):
         if read_err is not None:
             print(f"ERROR: skipping {case_name}: {read_err}")
             failures.append((case_name, read_err))

@@ -365,3 +365,198 @@ def test_serve_coarse_to_fine_wiring(tmp_path):
     with pytest.raises(SystemExit):
         serve_main(["-m", model_dir, "--fine_model", model_dir,
                     "--socket", sock, "--spatial_shard"])
+
+
+# ---------------------------------------------------------------------------
+# round-5 request pipelining (VERDICT round-4 weak #3): prep of the NEXT
+# queued request overlaps the current one's execution; device execution
+# stays single-flight FIFO with per-request isolation
+# ---------------------------------------------------------------------------
+
+
+def _pipelined_server(tmp_path, run_fn, prep_fn, idle_timeout=30.0):
+    server = SegmentationServer(run_fn, "fake")
+    sock = str(tmp_path / "p.sock")
+    t = threading.Thread(target=serve_forever, daemon=True,
+                         kwargs=dict(server=server, socket_path=sock,
+                                     log=None, prep_fn=prep_fn,
+                                     idle_timeout=idle_timeout))
+    t.start()
+    for _ in range(200):
+        if os.path.exists(sock):
+            break
+        t.join(0.05)
+    assert os.path.exists(sock)
+    return server, sock, t
+
+
+def test_burst_overlaps_prep_with_execution(tmp_path):
+    """3-request burst with prep=0.4s (host) and run=0.4s (device):
+    pipelined wall is ~prep + 3*run, well under the serial 3*(prep+run)
+    (the round-5 A/B done-criterion, with sleeps standing in for host
+    read/decode/upload and device compute)."""
+    import time as _time
+    events = []
+
+    def prep_fn(req):
+        _time.sleep(0.4)
+        events.append(("prep", req["input"]))
+        return f"prepared:{req['input']}"
+
+    def run_fn(input_path, output_dir, seg_name, save_image, save_prob,
+               prepared=None):
+        assert prepared == f"prepared:{input_path}"
+        _time.sleep(0.4)
+        events.append(("run", input_path))
+        return [(input_path, 0.4)]
+
+    server, sock, t = _pipelined_server(tmp_path, run_fn, prep_fn)
+    try:
+        results = [None] * 3
+        def client(i):
+            results[i] = request(sock, {"input": f"in{i}",
+                                        "output_dir": str(tmp_path)})
+        t0 = _time.time()
+        # stagger slightly so arrival (and FIFO) order is deterministic
+        threads = []
+        for i in range(3):
+            th = threading.Thread(target=client, args=(i,))
+            th.start()
+            threads.append(th)
+            _time.sleep(0.05)
+        for th in threads:
+            th.join(15)
+        wall = _time.time() - t0
+        assert all(r is not None and r["ok"] for r in results), results
+        # serial would be >= 3 * 0.8 = 2.4; pipelined ~0.4 + 3*0.4 = 1.6
+        assert wall < 2.1, f"burst took {wall:.2f}s — prep did not overlap"
+        # single-flight: runs never interleave (each run's entry is complete
+        # before the next), and FIFO order holds
+        run_order = [e[1] for e in events if e[0] == "run"]
+        assert run_order == ["in0", "in1", "in2"]
+    finally:
+        request(sock, {"cmd": "shutdown"}, timeout=10)
+        t.join(10)
+
+
+def test_ordering_and_isolation_same_connection(tmp_path):
+    """Several requests on ONE connection answer in order even when one in
+    the middle fails (per-request isolation under overlap)."""
+    def prep_fn(req):
+        if req["input"] == "bad-prep":
+            raise RuntimeError("prep exploded")
+        return "ok"
+
+    def run_fn(input_path, output_dir, seg_name, save_image, save_prob,
+               prepared=None):
+        if input_path == "bad-run":
+            raise RuntimeError("run exploded")
+        return [(input_path, 0.0)]
+
+    server, sock, t = _pipelined_server(tmp_path, run_fn, prep_fn)
+    try:
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        with c:
+            c.connect(sock)
+            payload = b"".join(
+                json.dumps({"input": name, "output_dir": str(tmp_path)})
+                .encode() + b"\n"
+                for name in ["a", "bad-prep", "bad-run", "b"])
+            c.sendall(payload)
+            rf = c.makefile("r")
+            lines = [json.loads(rf.readline()) for _ in range(4)]
+        assert lines[0]["ok"] and lines[0]["results"][0][0] == "a"
+        assert not lines[1]["ok"] and "prep exploded" in lines[1]["error"]
+        assert not lines[2]["ok"] and "run exploded" in lines[2]["error"]
+        assert lines[3]["ok"] and lines[3]["results"][0][0] == "b"
+    finally:
+        request(sock, {"cmd": "shutdown"}, timeout=10)
+        t.join(10)
+
+
+def test_ping_immediate_during_long_request(tmp_path):
+    """A health-check ping answers while a segmentation runs (it no longer
+    queues behind the device)."""
+    import time as _time
+    gate = threading.Event()
+
+    def run_fn(input_path, output_dir, seg_name, save_image, save_prob,
+               prepared=None):
+        gate.wait(10)
+        return [(input_path, 0.0)]
+
+    server, sock, t = _pipelined_server(tmp_path, run_fn, None)
+    try:
+        resp = [None]
+        def client():
+            resp[0] = request(sock, {"input": "x",
+                                     "output_dir": str(tmp_path)})
+        th = threading.Thread(target=client)
+        th.start()
+        _time.sleep(0.2)  # the request is now executing (blocked on gate)
+        t0 = _time.time()
+        r = request(sock, {"cmd": "ping"}, timeout=5)
+        assert r["ok"] and r["pong"]
+        assert _time.time() - t0 < 2.0
+        gate.set()
+        th.join(10)
+        assert resp[0]["ok"]
+    finally:
+        request(sock, {"cmd": "shutdown"}, timeout=10)
+        t.join(10)
+
+
+def test_shutdown_queues_fifo_behind_requests(tmp_path):
+    """Requests sent before shutdown still run; the server exits after."""
+    import time as _time
+    ran = []
+
+    def run_fn(input_path, output_dir, seg_name, save_image, save_prob,
+               prepared=None):
+        _time.sleep(0.2)
+        ran.append(input_path)
+        return [(input_path, 0.2)]
+
+    server, sock, t = _pipelined_server(tmp_path, run_fn, None)
+    results = [None, None]
+    def client(i):
+        results[i] = request(sock, {"input": f"q{i}",
+                                    "output_dir": str(tmp_path)})
+    ths = []
+    for i in range(2):
+        th = threading.Thread(target=client, args=(i,))
+        th.start()
+        ths.append(th)
+        _time.sleep(0.05)
+    _time.sleep(0.05)
+    r = request(sock, {"cmd": "shutdown"}, timeout=10)
+    assert r["ok"] and r.get("shutdown")
+    for th in ths:
+        th.join(10)
+    t.join(10)
+    assert not t.is_alive()
+    assert ran == ["q0", "q1"]
+    assert all(x is not None and x["ok"] for x in results), results
+
+
+def test_prepared_input_drives_real_segmentation(served, tmp_path):
+    """prepare_cases -> segmentation(prepared=...) is the exact driver path
+    the serving prep stage uses: results match the unprepared call, and a
+    mismatched input raises."""
+    root, case, sock, server = served
+    from segmentation3d_tpu.core.seg_infer import prepare_cases, segmentation
+    prep = prepare_cases(case)
+    out1 = str(tmp_path / "p1")
+    model_dir = server.model_dir
+    r1 = segmentation(case, model_dir, out1, seg_name="seg.nii.gz",
+                      batch_size=1, shape_bucket=16, prepared=prep)
+    assert len(r1) == 1
+    out2 = str(tmp_path / "p2")
+    r2 = segmentation(case, model_dir, out2, seg_name="seg.nii.gz",
+                      batch_size=1, shape_bucket=16)
+    a = read_image(os.path.join(out1, r1[0][0], "seg.nii.gz")).data
+    b = read_image(os.path.join(out2, r2[0][0], "seg.nii.gz")).data
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError, match="prepared input"):
+        segmentation("other.nii.gz", model_dir, out2,
+                     prepared=prepare_cases(case))
