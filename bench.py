@@ -133,6 +133,24 @@ def main():
             np.asarray(seg[0, 0, :2])
     vols_per_min = 60.0 / sec_per_vol
 
+    # link-weather telemetry (round-5): the axon host<->device link speed
+    # varies ~80x across sessions (CLAUDE.md), so cross-round BENCH deltas
+    # need the measured H2D/D2H rates IN the record to be normalizable.
+    # RANDOM bytes — zeros compress in transit and over-report. Probed
+    # AFTER the timed reps (the first D2H of a process can stall 30-90 s
+    # and must not pollute either the headline or the probe).
+    probe = rng.integers(0, 256, size=16 << 20, dtype=np.uint8)
+    t0 = time.perf_counter()
+    dev = jax.device_put(probe)
+    dev.block_until_ready()
+    h2d_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    back = np.asarray(dev)
+    d2h_s = time.perf_counter() - t0
+    assert back[0] == probe[0]
+    h2d_mbps = round(probe.nbytes / 1e6 / max(h2d_s, 1e-9), 1)
+    d2h_mbps = round(probe.nbytes / 1e6 / max(d2h_s, 1e-9), 1)
+
     n_boxes = len(inferer.boxes_for((size, size, size), stride))
     patch_desc = (f"{args.slab}x{size}x{size} slabs, z-stride {stride[0]}"
                   if args.slab else
@@ -154,6 +172,8 @@ def main():
         "vs_baseline": round(vols_per_min / 20.0, 3),
         "useful_tflops_per_s": round(useful_tflops_per_s, 2),
         "mfu": round(useful_tflops_per_s * 1e12 / TPU_V5E_PEAK_FLOPS, 4),
+        "h2d_mbps": h2d_mbps,
+        "d2h_mbps": d2h_mbps,
     }
     if sec_per_vol_bf16 is not None:
         tf16 = useful / sec_per_vol_bf16 / 1e12

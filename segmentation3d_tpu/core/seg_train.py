@@ -343,6 +343,11 @@ def train(config_file: str):
         random_intensity_shift=cfg.dataset.get("random_intensity_shift",
                                                None),
         random_noise_std=float(cfg.dataset.get("random_noise_std", 0.0)),
+        random_elastic_magnitude=float(
+            cfg.dataset.get("random_elastic_magnitude", 0.0)),
+        random_elastic_grid=int(cfg.dataset.get("random_elastic_grid", 4)),
+        random_elastic_prob=float(
+            cfg.dataset.get("random_elastic_prob", 1.0)),
         seed=seed,
     )
     batchsize = int(cfg.train.batchsize)

@@ -127,7 +127,9 @@ class SegmentationDataset:
                  interpolation=LINEAR, crop_normalizers=None,
                  random_flip=False, seed=0, device_cache_gb=2.0,
                  random_rot90=False, random_intensity_scale=None,
-                 random_intensity_shift=None, random_noise_std=0.0):
+                 random_intensity_shift=None, random_noise_std=0.0,
+                 random_elastic_magnitude=0.0, random_elastic_grid=4,
+                 random_elastic_prob=1.0):
         if isinstance(imseg_list, str):
             if imseg_list.endswith(".csv"):
                 ims, segs = read_train_csv(imseg_list)
@@ -161,6 +163,17 @@ class SegmentationDataset:
         self.random_intensity_shift = tuple(random_intensity_shift) \
             if random_intensity_shift else None
         self.random_noise_std = float(random_noise_std or 0.0)
+        # elastic deformation (ops/elastic.py): coarse control-point
+        # displacement grid in VOXELS, upsampled + gather-warped on device;
+        # the random coefficients ride in as a device array (ONE compiled
+        # warp program per crop shape)
+        self.random_elastic_magnitude = float(random_elastic_magnitude or 0.0)
+        self.random_elastic_grid = int(random_elastic_grid or 4)
+        if self.random_elastic_magnitude > 0.0 and self.random_elastic_grid < 2:
+            raise ValueError("random_elastic_grid must be >= 2")
+        self.random_elastic_prob = float(random_elastic_prob
+                                         if random_elastic_prob is not None
+                                         else 1.0)
         self._noise_key = None
         if self.random_noise_std > 0.0:
             import jax
@@ -224,6 +237,14 @@ class SegmentationDataset:
             if k:
                 image = jnp.rot90(image, k, axes=(1, 2))
                 seg = jnp.rot90(seg, k, axes=(1, 2))
+        if self.random_elastic_magnitude > 0.0 \
+                and self.rng.random() < self.random_elastic_prob:
+            from segmentation3d_tpu.ops.elastic import elastic_warp
+            g = self.random_elastic_grid
+            disp = self.rng.normal(
+                0.0, self.random_elastic_magnitude, (g, g, g, 3))
+            image, seg = elastic_warp(image, seg,
+                                      jnp.asarray(disp, jnp.float32))
         if self.random_intensity_scale is not None:
             lo, hi = self.random_intensity_scale
             image = image * jnp.asarray(self.rng.uniform(lo, hi),

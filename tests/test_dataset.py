@@ -133,6 +133,68 @@ def test_intensity_and_noise_augs(cases):
     assert c > 0.95, c
 
 
+def test_elastic_warp_identity_and_shift():
+    """ops.elastic.elastic_warp: zero displacement is the identity; a
+    constant integer displacement is an exact (edge-clamped) shift for
+    BOTH image and labels — image/label consistency by construction."""
+    import jax.numpy as jnp
+    from segmentation3d_tpu.ops.elastic import elastic_warp
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(12, 12, 12, 2)), jnp.float32)
+    seg = jnp.asarray(rng.integers(0, 3, (12, 12, 12)), jnp.int32)
+    wi, ws = elastic_warp(img, seg, jnp.zeros((4, 4, 4, 3), jnp.float32))
+    np.testing.assert_allclose(np.asarray(wi), np.asarray(img), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ws), np.asarray(seg))
+    # constant displacement +2 voxels along z: out[z] = in[z+2] (clamped)
+    disp = jnp.zeros((4, 4, 4, 3), jnp.float32).at[..., 0].set(2.0)
+    wi, ws = elastic_warp(img, seg, disp)
+    np.testing.assert_allclose(np.asarray(wi)[:10], np.asarray(img)[2:],
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ws)[:10], np.asarray(seg)[2:])
+    np.testing.assert_array_equal(np.asarray(ws)[10:],
+                                  np.asarray(seg)[11:][[0, 0]])
+
+
+def test_elastic_warp_determinism_and_smoothness():
+    """Same displacement -> identical output; a random field changes the
+    crop but keeps labels in the valid set and structures mostly intact."""
+    import jax.numpy as jnp
+    from segmentation3d_tpu.ops.elastic import elastic_warp
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.normal(size=(16, 16, 16, 1)), jnp.float32)
+    seg = jnp.asarray((rng.random((16, 16, 16)) > 0.5), jnp.int32)
+    disp = jnp.asarray(rng.normal(0, 1.5, (4, 4, 4, 3)), jnp.float32)
+    a1 = elastic_warp(img, seg, disp)
+    a2 = elastic_warp(img, seg, disp)
+    np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
+    np.testing.assert_array_equal(np.asarray(a1[1]), np.asarray(a2[1]))
+    assert not np.allclose(np.asarray(a1[0]), np.asarray(img))
+    assert set(np.unique(np.asarray(a1[1]))) <= {0, 1}
+
+
+def test_elastic_dataset_wiring(cases):
+    """random_elastic_magnitude warps image AND seg consistently (the
+    sphere moves in both), off by default, and label values stay valid."""
+    ds = _make_ds(cases, "CENTER", seed=3, random_elastic_magnitude=2.0,
+                  random_elastic_grid=4)
+    ds.random_translation = np.zeros(3)
+    ref = _make_ds(cases, "CENTER")
+    ref.random_translation = np.zeros(3)
+    ref_img, ref_seg = (np.asarray(v) for v in ref[0][:2])
+    img, seg = (np.asarray(v) for v in ds[0][:2])
+    assert img.shape == ref_img.shape and seg.shape == ref_seg.shape
+    assert not np.array_equal(seg, ref_seg)  # the label field moved too
+    assert set(np.unique(seg)) <= {0, 1}
+    # the warped foreground stays the same object: voxel count within 30%
+    assert 0.7 < seg.sum() / max(ref_seg.sum(), 1) < 1.3
+    # prob=0 disables
+    ds0 = _make_ds(cases, "CENTER", seed=3, random_elastic_magnitude=2.0,
+                   random_elastic_prob=0.0)
+    ds0.random_translation = np.zeros(3)
+    img0, seg0 = (np.asarray(v) for v in ds0[0][:2])
+    np.testing.assert_array_equal(seg0, ref_seg)
+
+
 def test_aug_config_wiring(tmp_path):
     """cfg.dataset.random_rot90/... reach the dataset through train()'s
     construction (smoke: 2 epochs with every augmentation on)."""
@@ -150,7 +212,10 @@ def test_aug_config_wiring(tmp_path):
                "__C.dataset.random_rot90 = True\n"
                "__C.dataset.random_intensity_scale = (0.9, 1.1)\n"
                "__C.dataset.random_intensity_shift = (-0.1, 0.1)\n"
-               "__C.dataset.random_noise_std = 0.02\n"))
+               "__C.dataset.random_noise_std = 0.02\n"
+               "__C.dataset.random_elastic_magnitude = 1.5\n"
+               "__C.dataset.random_elastic_grid = 4\n"
+               "__C.dataset.random_elastic_prob = 0.5\n"))
     from segmentation3d_tpu.core.seg_train import train
     train(cfg)
     assert os.path.isdir(os.path.join(str(tmp_path / "model"),
