@@ -52,6 +52,10 @@ def main():
                          "agreement, Dice within noise vs bf16; 'none' for "
                          "the exact bf16/flax-parity path)")
     ap.add_argument("--act_clip", type=float, default=8.0)
+    ap.add_argument("--concat_fold", action="store_true",
+                    help="fold the last decoder concat's interleave "
+                         "permutation into its consumer kernels "
+                         "(round-5 A/B; exact — int8 bit-exact)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="wrap one timed rep in jax.profiler.trace(DIR); "
                          "rank ops with benchmarks/trace_top.py DIR")
@@ -83,7 +87,8 @@ def main():
                                                     dtype=dtype,
                                                     accum=args.accum,
                                                     quant=quant,
-                                                    act_clip=args.act_clip)
+                                                    act_clip=args.act_clip,
+                                                    concat_fold=args.concat_fold)
     elif args.fused == "1":
         from segmentation3d_tpu.models.fused_vnet import build_fused_forward
         apply_fn, apply_vars = build_fused_forward(net, variables, dtype=dtype,

@@ -487,6 +487,123 @@ def interleave_perm_np(P: int, ca: int, cb: int) -> np.ndarray:
     return m
 
 
+def block_sigma_np(P: int, ca: int, cb: int) -> np.ndarray:
+    """sigma[i_block] = standard packed lane of BLOCK-concat lane i.
+
+    The round-5 concat lane-relabeling fold (VERDICT round-4 next #3): a
+    skip concat can stay in cheap BLOCK order ([packed-a lanes | packed-b
+    lanes]) with the interleave permutation folded STATICALLY into the
+    consumer kernels — ``K_block = K_std.take(sigma, axis=K_in)`` — instead
+    of running :func:`interleave_perm_np`'s GEMM (and, on the int8 path,
+    its extra int32->int8 requant pass) per activation."""
+    ct = ca + cb
+    sig = np.empty(P * ct, np.int64)
+    for xo in range(P):
+        sig[xo * ca:(xo + 1) * ca] = xo * ct + np.arange(ca)
+        sig[P * ca + xo * cb:P * ca + (xo + 1) * cb] = \
+            xo * ct + ca + np.arange(cb)
+    return sig
+
+
+def sigma_expand_np(sig: np.ndarray, groups: int) -> np.ndarray:
+    """The same lane relabeling after a free repack that merges ``groups``
+    packed columns into one (P -> P*groups): per-column permutations tile
+    (repack concatenates whole columns' lane blocks unchanged)."""
+    n = sig.size
+    return np.concatenate([q * n + sig for q in range(groups)])
+
+
+def _lane_runs(idx: np.ndarray):
+    """Contiguous (start, stop) runs of an ascending lane-index array."""
+    runs, s = [], 0
+    for i in range(1, idx.size + 1):
+        if i == idx.size or idx[i] != idx[i - 1] + 1:
+            runs.append((int(idx[s]), int(idx[i - 1]) + 1))
+            s = i
+    return runs
+
+
+def block_plan(sigma: np.ndarray, P: int, ct: int, cout: int,
+               out_block: bool):
+    """Static slicing plan for a window conv consuming a BLOCK-order packed
+    tensor (see :func:`block_sigma_np`).
+
+    - ``l_in``/``r_in``: lane runs of the block tensor holding the std
+      x-offset P-1 / x-offset 0 channels (the halo convs' inputs); taken in
+      ascending block position they concatenate back to std channel order,
+      so the narrow halo kernels stay unchanged.
+    - ``l_out``/``r_out``: (block_lo, block_hi, std_lo, std_hi) pad runs
+      for the halo outputs. Std pads when ``out_block`` is False; when True
+      (the conv's OUTPUT is also lane-relabeled to block order, for a
+      residual add against the block identity — requires cout == ct) the
+      halo contributions land at the block positions of std lanes
+      [0, cout) / [(P-1)*cout, P*cout).
+    """
+    inv = np.argsort(sigma)
+    plan = {
+        "l_in": _lane_runs(inv[(P - 1) * ct:P * ct]),
+        "r_in": _lane_runs(inv[:ct]),
+    }
+    if not out_block:
+        plan["l_out"] = [(0, cout, 0, cout)]
+        plan["r_out"] = [((P - 1) * cout, P * cout, 0, cout)]
+        plan["n_out"] = P * cout
+        return plan
+    assert cout == ct, "out_block lane relabeling requires cout == ca + cb"
+
+    def out_runs(std_lo):
+        rs = []
+        for a, b in _lane_runs(inv[std_lo:std_lo + cout]):
+            rs.append((a, b, int(sigma[a]) - std_lo,
+                       int(sigma[b - 1]) + 1 - std_lo))
+        return rs
+
+    plan["l_out"] = out_runs(0)
+    plan["r_out"] = out_runs((P - 1) * cout)
+    plan["n_out"] = P * cout
+    return plan
+
+
+def take_lanes(x, runs):
+    """Concatenate lane slices ``x[..., a:b]`` for the plan's runs."""
+    parts = [x[..., a:b] for a, b in runs]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+
+
+def _scatter_halo(out, hc, runs, n_out):
+    """Add the narrow halo conv output ``hc [.., cout]`` into ``out`` at the
+    plan's (block_lo, block_hi, std_lo, std_hi) runs (fused pad+add)."""
+    pad4 = ((0, 0),) * 4
+    for a, b, sa, sb in runs:
+        out = out + jnp.pad(hc[..., sa:sb], pad4 + ((a, n_out - b),))
+    return out
+
+
+def window_conv_packed_block(xp, mid_b, wl, wr, bp=None, *, plan,
+                             grad_safe: bool = False, accum: str = "f32"):
+    """:func:`window_conv_packed` for a BLOCK-order packed input: ``mid_b``
+    is the mid kernel pre-gathered by ``sigma`` on its input axis (and on
+    its output axis too when the plan was built ``out_block=True``); the
+    narrow halo kernels are UNCHANGED (``take_lanes`` reassembles their
+    std-ordered inputs from the block runs). ``bp`` must be pre-gathered
+    to the output order the plan emits."""
+    cdtype = jnp.float32 if xp.dtype == jnp.float32 else jnp.bfloat16
+    xp = xp.astype(cdtype)
+    zy_same = ((1, 1), (1, 1), (0, 0))
+    dn = ("NDHWC", "DHWIO", "NDHWC")
+    out = _conv_acc(xp, mid_b.astype(cdtype), (1, 1, 1), zy_same, dn,
+                    grad_safe, accum)
+    lc = _conv_acc(take_lanes(xp, plan["l_in"]), wl.astype(cdtype), (1, 1, 1),
+                   ((1, 1), (1, 1), (1, -1)), dn, grad_safe, accum)
+    rc = _conv_acc(take_lanes(xp, plan["r_in"]), wr.astype(cdtype), (1, 1, 1),
+                   ((1, 1), (1, 1), (-1, 1)), dn, grad_safe, accum)
+    out = _scatter_halo(out, lc, plan["l_out"], plan["n_out"])
+    out = _scatter_halo(out, rc, plan["r_out"], plan["n_out"])
+    if bp is not None:
+        out = out + bp.astype(out.dtype).reshape(1, 1, 1, 1, -1)
+    return out
+
+
 def concat_packed(a, b, ca: int, cb: int, perm=None):
     """Packed-channel concat of a [.., P*ca] and b [.., P*cb] (same P) into
     the standard x-major order [.., P*(ca+cb)].

@@ -93,6 +93,22 @@ def window_conv_packed_i8(xp, mid, wl, wr, *, P: int, cin: int,
     return out
 
 
+def window_conv_packed_block_i8(xp, mid_b, wl, wr, *, plan):
+    """int8 twin of ``packed_conv.window_conv_packed_block`` (BLOCK-order
+    input; kernels pre-gathered at fold time) — int32 accumulation is
+    order-independent, so the fold is BIT-exact against perm-GEMM + conv."""
+    from segmentation3d_tpu.ops.packed_conv import take_lanes, _scatter_halo
+    zy_same = ((1, 1), (1, 1), (0, 0))
+    out = conv_i8(xp, mid_b, (1, 1, 1), zy_same)
+    lc = conv_i8(take_lanes(xp, plan["l_in"]), wl, (1, 1, 1),
+                 ((1, 1), (1, 1), (1, -1)))
+    rc = conv_i8(take_lanes(xp, plan["r_in"]), wr, (1, 1, 1),
+                 ((1, 1), (1, 1), (-1, 1)))
+    out = _scatter_halo(out, lc, plan["l_out"], plan["n_out"])
+    out = _scatter_halo(out, rc, plan["r_out"], plan["n_out"])
+    return out
+
+
 def down_conv_packed_i8(xp, mid):
     """int8 twin of ``packed_conv.down_conv_packed`` (k=2/s=2, VALID,
     packed kernel from ``down_kernel_np`` built on the int8 weight)."""

@@ -162,3 +162,42 @@ def test_bottleneck_rejected_loudly():
     from segmentation3d_tpu.models.fused_vnet import build_fused_forward
     with pytest.raises(NotImplementedError):
         build_fused_forward(net, variables, dtype=jnp.float32)
+
+
+def test_concat_fold_parity_f32():
+    """concat_fold=True (round-5 lane-relabeling of the last decoder
+    level's skip concat into its consumer kernels) computes the same
+    function as the perm-GEMM form."""
+    net = SegmentationNet(in_channels=1, out_channels=2)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 32, 1)), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(1), x, train=False)
+    ref_fn, ref_fv = build_packed_forward(net, variables, dtype=jnp.float32,
+                                          concat_fold=False)
+    fold_fn, fold_fv = build_packed_forward(net, variables,
+                                            dtype=jnp.float32,
+                                            concat_fold=True)
+    a = np.asarray(ref_fn(ref_fv, x))
+    b = np.asarray(fold_fn(fold_fv, x))
+    np.testing.assert_allclose(b, a, atol=2e-5)
+    flax = np.asarray(net.apply(variables, x, train=False))
+    np.testing.assert_allclose(b, flax, atol=0.02)
+    # the folded build really dropped the up_32 perm GEMM
+    assert "perm" not in fold_fv["up_32/up"]
+    assert "perm" in ref_fv["up_32/up"]
+
+
+def test_concat_fold_parity_adaptive_head():
+    """The fold's lane relabeling extends through the head repack for a
+    non-default head packing (Ph=16 at W=48)."""
+    from segmentation3d_tpu.ops.packed_conv import head_p_for
+    net = SegmentationNet(in_channels=1, out_channels=2)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 48, 1)), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(2), x, train=False)
+    ph = head_p_for(48, 2)
+    ref_fn, ref_fv = build_packed_forward(net, variables, dtype=jnp.float32,
+                                          head_p=ph, concat_fold=False)
+    fold_fn, fold_fv = build_packed_forward(net, variables,
+                                            dtype=jnp.float32, head_p=ph,
+                                            concat_fold=True)
+    np.testing.assert_allclose(np.asarray(fold_fn(fold_fv, x)),
+                               np.asarray(ref_fn(ref_fv, x)), atol=2e-5)

@@ -227,3 +227,22 @@ def test_stats_mode_rejects_quant():
     variables = net.init(jax.random.PRNGKey(0), x, train=False)
     with pytest.raises(ValueError, match="stats"):
         build_packed_forward(net, variables, quant="int8", stats=True)
+
+
+def test_concat_fold_int8_bit_exact():
+    """int8 + concat_fold is BIT-exact vs the perm-GEMM int8 build: the
+    fold only reorders int32 accumulations and drops the (value-preserving)
+    perm conv + its requant pass."""
+    from segmentation3d_tpu.models.vnet import SegmentationNet
+    from segmentation3d_tpu.models.packed_vnet import build_packed_forward
+    net = SegmentationNet(in_channels=1, out_channels=2, dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 32, 1)), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(3), x, train=False)
+    ref_fn, ref_fv = build_packed_forward(net, variables, quant="int8",
+                                          concat_fold=False)
+    fold_fn, fold_fv = build_packed_forward(net, variables, quant="int8",
+                                            concat_fold=True)
+    a = np.asarray(ref_fn(ref_fv, x))
+    b = np.asarray(fold_fn(fold_fv, x))
+    np.testing.assert_array_equal(np.argmax(a, -1), np.argmax(b, -1))
+    np.testing.assert_allclose(b, a, atol=1e-6)
