@@ -5,6 +5,9 @@ import pytest
 
 from phantoms import make_sphere_case, make_train_list, write_train_config
 
+import pytest as _pytest
+pytestmark = _pytest.mark.slow  # expensive integration tier (VERDICT r4 #7)
+
 
 def _dice(a, b):
     a, b = a > 0, b > 0

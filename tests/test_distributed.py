@@ -50,6 +50,9 @@ from segmentation3d_tpu.parallel.distributed import (
     initialize, is_primary, barrier, broadcast_from_primary)
 from segmentation3d_tpu.parallel import make_mesh, shard_batch
 
+import pytest as _pytest
+pytestmark = _pytest.mark.slow  # expensive integration tier (VERDICT r4 #7)
+
 n = initialize(coordinator_address="127.0.0.1:{port}",
                num_processes=1, process_id=0)
 assert jax.process_count() == 1 and is_primary()

@@ -16,6 +16,9 @@ from segmentation3d_tpu.ops.geometry import Frame
 from segmentation3d_tpu.utils import model_io
 from segmentation3d_tpu.utils.normalizer import FixedNormalizer
 
+import pytest as _pytest
+pytestmark = _pytest.mark.slow  # expensive integration tier (VERDICT r4 #7)
+
 
 def _mk_model(path, seed, spacing=(1.0, 1.0, 1.0), base_channels=2):
     net = SegmentationNet(in_channels=1, out_channels=2,

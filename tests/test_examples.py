@@ -7,6 +7,9 @@ import pytest
 
 from segmentation3d_tpu.utils.file_io import load_config
 
+import pytest as _pytest
+pytestmark = _pytest.mark.slow  # expensive integration tier (VERDICT r4 #7)
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXAMPLES = sorted(glob.glob(os.path.join(REPO, "examples", "**", "*.py"),
                             recursive=True))

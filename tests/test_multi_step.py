@@ -16,6 +16,9 @@ from segmentation3d_tpu.core.seg_train import (
 from segmentation3d_tpu.losses import MultiDiceLoss
 from segmentation3d_tpu.models.vnet import SegmentationNet
 
+import pytest as _pytest
+pytestmark = _pytest.mark.slow  # expensive integration tier (VERDICT r4 #7)
+
 rng = np.random.default_rng(0)
 
 

@@ -22,6 +22,9 @@ from segmentation3d_tpu.ops.geometry import Frame
 from segmentation3d_tpu.utils import model_io
 from segmentation3d_tpu.utils.normalizer import FixedNormalizer
 
+import pytest as _pytest
+pytestmark = _pytest.mark.slow  # expensive integration tier (VERDICT r4 #7)
+
 
 @pytest.fixture(scope="module")
 def served(tmp_path_factory):

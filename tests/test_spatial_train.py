@@ -14,6 +14,9 @@ import pytest
 
 from segmentation3d_tpu.parallel import make_mesh, shard_batch, replicate
 
+import pytest as _pytest
+pytestmark = _pytest.mark.slow  # expensive integration tier (VERDICT r4 #7)
+
 
 def test_spatial_mesh_axes():
     m = make_mesh(-1, spatial=4)
