@@ -195,6 +195,7 @@ def test_elastic_dataset_wiring(cases):
     np.testing.assert_array_equal(seg0, ref_seg)
 
 
+@pytest.mark.slow
 def test_aug_config_wiring(tmp_path):
     """cfg.dataset.random_rot90/... reach the dataset through train()'s
     construction (smoke: 2 epochs with every augmentation on)."""

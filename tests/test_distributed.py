@@ -22,6 +22,9 @@ import numpy as np
 from segmentation3d_tpu.parallel.distributed import (
     initialize, is_primary, barrier, broadcast_from_primary)
 
+import pytest as _pytest
+pytestmark = _pytest.mark.slow  # expensive integration tier (VERDICT r4 #7)
+
 
 def test_single_process_degradation():
     n = initialize()  # no coordinator env: swallowed, returns device count
@@ -49,9 +52,6 @@ import jax.numpy as jnp
 from segmentation3d_tpu.parallel.distributed import (
     initialize, is_primary, barrier, broadcast_from_primary)
 from segmentation3d_tpu.parallel import make_mesh, shard_batch
-
-import pytest as _pytest
-pytestmark = _pytest.mark.slow  # expensive integration tier (VERDICT r4 #7)
 
 n = initialize(coordinator_address="127.0.0.1:{port}",
                num_processes=1, process_id=0)

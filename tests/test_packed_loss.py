@@ -81,6 +81,7 @@ def test_packed_probs_apply_consistency():
                                   np.asarray(packed))
 
 
+@pytest.mark.slow
 def test_train_step_packed_loss_equivalence():
     """Same loss value and gradients whether the Dice loss runs on the
     unpacked or the packed head output."""

@@ -53,6 +53,7 @@ def test_prelu_parity():
     np.testing.assert_allclose(out, ref, atol=2e-3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("remat", [False, True])
 def test_grads_match_flax(remat):
     net, x, variables = _setup(shape=(16, 16, 32), base=8, remat=remat)
@@ -132,6 +133,7 @@ def test_bf16_train_parity():
                                    err_msg=str(path))
 
 
+@pytest.mark.slow
 def test_bf16_grads_usable():
     """bf16 packed training grads: finite, and a few steps reduce the loss
     (the bf16 conv-output lowering keeps the transpose rule dtype-consistent
@@ -158,6 +160,7 @@ def test_bf16_grads_usable():
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
 
+@pytest.mark.slow
 def test_train_step_integration():
     """make_train_step with the packed apply: losses fall on a phantom."""
     import optax

@@ -36,6 +36,7 @@ def test_pad_batch():
     assert pad_batch_to_devices(9, 8) == 16
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device():
     """The SPMD train step on an 8-device mesh must produce the same params
     as single-device execution (XLA inserts the gradient psum)."""

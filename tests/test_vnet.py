@@ -109,6 +109,7 @@ def test_logits_output():
                                np.asarray(probs), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_grad_flows():
     net = SegmentationNet(in_channels=1, out_channels=2, base_channels=4)
     variables, x = _init(net, (1, 16, 16, 16, 1))
