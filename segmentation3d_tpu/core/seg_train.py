@@ -617,7 +617,8 @@ def train(config_file: str):
             shape_bucket=int(cfg.train.get("val_shape_bucket", 32)),
             size_cap=int(cfg.train.get("val_size_cap", 256)),
             slab_z=int(cfg.train.get("val_slab_z", 64)),
-            inferer_cache=val_inferers)
+            inferer_cache=val_inferers,
+            case_cache_gb=float(cfg.train.get("val_cache_gb", 2.0)))
         detail = ", ".join(f"c{c + 1}: {d:.4f}" for c, d in enumerate(per_class))
         logger.info(f"epoch: {epoch_idx}, val dice: {mean_dice:.4f} "
                     f"({n} cases{'; ' + detail if len(per_class) > 1 else ''})")

@@ -200,7 +200,7 @@ def _reader(conn, server, jobs, idle_timeout, max_request_bytes, log,
                 # +2: the cap must admit a payload of EXACTLY
                 # max_request_bytes plus its newline
                 raw = rf.readline(max_request_bytes + 2)
-            except (TimeoutError, socket.timeout) as e:
+            except (TimeoutError, socket.timeout):
                 if any(not j.done.is_set() for j in pending):
                     continue  # awaiting a queued response, not wedged
                 if log:

@@ -114,7 +114,7 @@ def _fused_builder(net, variables, patch, num_classes, state, version):
 def validate_cases(net, variables, val_list, *, spacing, interpolation,
                    normalizers, num_classes, max_stride, shape_bucket=32,
                    inferer_cache=None, size_cap=256, slab_z=64,
-                   slab_overlap=16, use_fused=None):
+                   slab_overlap=16, use_fused=None, case_cache_gb=2.0):
     """Run whole-volume inference on every case of ``val_list`` (train-format
     txt) and return ``(mean_dice, per_class_dice, n_cases)``.
 
@@ -131,7 +131,15 @@ def validate_cases(net, variables, val_list, *, spacing, interpolation,
     Scoring happens ON DEVICE (``SlidingWindowInferer.dice``): only
     ``2*(num_classes-1)`` floats per case cross the D2H link, and the
     valid-region bound rides in as a traced argument so per-case valid
-    sizes share one program per shape bucket."""
+    sizes share one program per shape bucket.
+
+    ``case_cache_gb``: the validation set is FIXED for the whole run and
+    its preprocessing is parameter-independent, so the preprocessed iso
+    device volumes (+ gt) are kept HBM-resident across save points up to
+    this budget — a warm save point then costs ~the device forward only
+    (the round-5 TPU measurement: 34.8 s -> 11.7 s from on-device scoring
+    alone, the 11.7 s dominated by re-reading + re-uploading the same
+    volumes; cached, it drops to the forward's ~2-4 s)."""
     from segmentation3d_tpu.core.seg_infer import prep_channels, _prep_modality
     from segmentation3d_tpu.dataloader.dataset import read_train_txt
     if inferer_cache is None:
@@ -145,36 +153,49 @@ def validate_cases(net, variables, val_list, *, spacing, interpolation,
     pad_mult = max(int(max_stride), int(shape_bucket or 0))
     norms = list(normalizers) if normalizers is not None else None
     ims, sgs = read_train_txt(val_list)
+    case_cache = inferer_cache.setdefault(
+        "__cases__", {"budget": float(case_cache_gb) * 1e9})
     per_case = []
     for img_paths, seg_path in zip(ims, sgs):
-        vols = [read_image(p) for p in img_paths]
-        v0 = vols[0]
-        # all modalities co-registered onto modality-0's iso grid, like the
-        # inference path (core/seg_infer.py)
-        _, valid = resampled_frame(v0.frame, v0.size_xyz, spacing, 1)
-        iso_frame, iso_size = resampled_frame(
-            v0.frame, v0.size_xyz, spacing, pad_mult)
-        shim = types.SimpleNamespace(
-            normalizers=norms if norms is not None else [None] * len(vols),
-            interpolation=interpolation)
-        # fused per-modality preprocess (resample + normalize, ONE program
-        # each) — the same path the inference drivers run
-        vol = prep_channels(shim, vols, None, iso_frame, iso_size, valid, 0.0)
-        sv = read_image(seg_path)
-        kind, coeffs, out_shape = resample_plan(sv.frame, iso_frame, iso_size)
-        gt = _prep_modality(jnp.asarray(sv.data), jnp.asarray(coeffs),
-                            jnp.asarray(0.0, jnp.float32), kind=kind,
-                            out_shape=out_shape, interp=NN, fill=0.0,
-                            norm_spec=None, valid_zyx=None)
-        D, H, W = (int(s) for s in iso_size[::-1])
-        if D * H * W > int(size_cap) ** 3:
-            # SLAB fallback: bound HBM to one slab's activations; same
-            # engine mode the flat driver's large-volume path uses
-            pz = min(int(slab_z), D)
-            sz = max(pz - int(slab_overlap), 1)
-            patch, stride = (pz, H, W), (sz, H, W)
+        ckey = (tuple(img_paths), seg_path)
+        cached = case_cache.get(ckey)
+        if cached is not None:
+            vol, gt, valid, patch, stride = cached
         else:
-            patch = stride = (D, H, W)
+            vols = [read_image(p) for p in img_paths]
+            v0 = vols[0]
+            # all modalities co-registered onto modality-0's iso grid, like
+            # the inference path (core/seg_infer.py)
+            _, valid = resampled_frame(v0.frame, v0.size_xyz, spacing, 1)
+            iso_frame, iso_size = resampled_frame(
+                v0.frame, v0.size_xyz, spacing, pad_mult)
+            shim = types.SimpleNamespace(
+                normalizers=norms if norms is not None
+                else [None] * len(vols), interpolation=interpolation)
+            # fused per-modality preprocess (resample + normalize, ONE
+            # program each) — the same path the inference drivers run
+            vol = prep_channels(shim, vols, None, iso_frame, iso_size,
+                                valid, 0.0)
+            sv = read_image(seg_path)
+            kind, coeffs, out_shape = resample_plan(sv.frame, iso_frame,
+                                                    iso_size)
+            gt = _prep_modality(jnp.asarray(sv.data), jnp.asarray(coeffs),
+                                jnp.asarray(0.0, jnp.float32), kind=kind,
+                                out_shape=out_shape, interp=NN, fill=0.0,
+                                norm_spec=None, valid_zyx=None)
+            D, H, W = (int(s) for s in iso_size[::-1])
+            if D * H * W > int(size_cap) ** 3:
+                # SLAB fallback: bound HBM to one slab's activations; same
+                # engine mode the flat driver's large-volume path uses
+                pz = min(int(slab_z), D)
+                sz = max(pz - int(slab_overlap), 1)
+                patch, stride = (pz, H, W), (sz, H, W)
+            else:
+                patch = stride = (D, H, W)
+            nbytes = vol.size * vol.dtype.itemsize + gt.size * gt.dtype.itemsize
+            if case_cache["budget"] >= nbytes:
+                case_cache["budget"] -= nbytes
+                case_cache[ckey] = (vol, gt, valid, patch, stride)
         key = (patch, stride)
         rec = inferer_cache.get(key)
         apply_fn = apply_vars = None

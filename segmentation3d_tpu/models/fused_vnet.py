@@ -42,7 +42,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from segmentation3d_tpu.models.vnet import SegmentationNet
-from segmentation3d_tpu.ops.pallas_conv import thin_conv3d, fold_bn
+from segmentation3d_tpu.ops.pallas_conv import (thin_conv3d,
+    fold_bn_np as fold_bn)
 from segmentation3d_tpu.ops.packed_conv import (
     packed_conv3d_pre, window_conv3d_pre, pack_kernel_np, window_kernels_np,
     deconv2x, pick_p, pick_window_p)
@@ -137,7 +138,8 @@ def build_fused_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
 
     def alpha_of(pp, name):
         if act_kind == "prelu" and name in pp:
-            return float(jnp.reshape(pp[name]["alpha"], ())[...])
+            import numpy as _np
+            return float(_np.asarray(pp[name]["alpha"]).reshape(())[()])
         return 0.25
 
     # ---- phase 1: register each conv site -------------------------------

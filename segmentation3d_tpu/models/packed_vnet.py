@@ -43,7 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from segmentation3d_tpu.models.vnet import SegmentationNet
-from segmentation3d_tpu.ops.pallas_conv import fold_bn
+from segmentation3d_tpu.ops.pallas_conv import fold_bn_np as fold_bn
 from segmentation3d_tpu.ops.packed_conv import (
     window_kernels_np, window_conv_packed, down_kernel_np, down_conv_packed,
     deconv_gemm_np, deconv_gemm_apply, deconv_unshuffle, concat_packed,
@@ -241,7 +241,8 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
 
     def alpha_of(pp, name):
         if act_kind == "prelu" and name in pp:
-            return float(jnp.reshape(pp[name]["alpha"], ())[...])
+            import numpy as _np
+            return float(_np.asarray(pp[name]["alpha"]).reshape(())[()])
         return 0.25
 
     # ---- phase 1: fold + pack every site --------------------------------
@@ -407,6 +408,21 @@ def build_packed_forward(net: SegmentationNet, variables, dtype=jnp.bfloat16,
             wproj[0, 0, 0]
     fv["out_block/proj"] = {"k": bd, "b": np.tile(bproj, Ph)}
     meta["out_block"] = {"Ph": Ph}
+
+    if dtype == jnp.bfloat16:
+        # pre-cast the BIG kernel arrays to bf16 on host: the traced ops
+        # cast them to the bf16 compute dtype anyway (same rounding), and
+        # halving the folded-var bytes halves the per-save-point re-staging
+        # upload of the validation refold (~76 -> ~40 MB; the slow-relay
+        # H2D was ~2.5 s of a 12 s save point, round-5 attribution) and
+        # every session build's first upload. Epilogue vectors (b, s) stay
+        # f32 — they participate in f32 math.
+        import ml_dtypes
+        for site in fv.values():
+            for name in ("mid", "left", "right", "k", "w"):
+                arr = site.get(name)
+                if arr is not None and arr.dtype == np.float32:
+                    site[name] = arr.astype(ml_dtypes.bfloat16)
 
     # ---- phase 2: the traced forward ------------------------------------
     def lane(v):  # [C'] -> broadcastable over [B,D,H,cols,C']

@@ -65,6 +65,23 @@ def fold_bn(w, b, scale, bias, mean, var, eps: float = 1e-5):
     return w2, b2
 
 
+def fold_bn_np(w, b, scale, bias, mean, var, eps: float = 1e-5):
+    """Pure-numpy :func:`fold_bn` for the HOST fold paths (build_packed_/
+    fused_forward run ~30 per-site folds; as jnp ops each dispatches a tiny
+    program to the device backend — ~90 ms apiece on the relay, measured
+    ~6.5 s of a 12 s validation save point in round 5 — where the same
+    math in numpy is microseconds)."""
+    import numpy as np
+    w = np.asarray(w, np.float32)
+    s = np.asarray(scale, np.float32) / np.sqrt(
+        np.asarray(var, np.float32) + eps)
+    w2 = w * s[None, None, None, None, :]
+    b0 = np.asarray(b, np.float32) if b is not None else np.float32(0.0)
+    b2 = (b0 - np.asarray(mean, np.float32)) * s \
+        + np.asarray(bias, np.float32)
+    return w2, b2
+
+
 def _conv_kernel(p0_ref, p1_ref, p2_ref, wc_ref, wl_ref, wr_ref, b_ref,
                  out_ref, *, H, Wb, L, cin, cout, act, alpha,
                  residual="none", res_alpha=0.25, quant_inv_sa=None):

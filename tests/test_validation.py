@@ -52,8 +52,17 @@ def test_shape_bucketing_shares_one_program(tmp_path):
         interpolation="LINEAR", normalizers=[None], num_classes=2,
         max_stride=16, shape_bucket=32, inferer_cache=cache)
     assert n == 3
-    assert len(cache) == 1, f"expected one shape bucket, got {list(cache)}"
+    buckets = [k for k in cache if isinstance(k, tuple)]
+    assert len(buckets) == 1, f"expected one shape bucket, got {buckets}"
     assert mean > 0.9  # round-trip of the image IS the label
+    # the fixed validation set's preprocessed device volumes are cached
+    # across save points (round-5: a warm save point re-reads nothing)
+    assert len(cache["__cases__"]) == 4  # 3 cases + the budget counter
+    mean2, _, _ = validate_cases(
+        _RoundNet(2), {}, lst, spacing=[1.0, 1.0, 1.0],
+        interpolation="LINEAR", normalizers=[None], num_classes=2,
+        max_stride=16, shape_bucket=32, inferer_cache=cache)
+    assert mean2 == mean
 
 
 def test_per_class_dice_values(tmp_path):
