@@ -143,6 +143,10 @@ def _probe_alive(socket_path: str) -> bool:
 
 
 def _bind(socket_path: str | None, host: str | None, port: int | None):
+    # NOTE: listen() happens HERE, immediately after bind() — the unix
+    # socket FILE appears at bind time, and a client that connects in a
+    # bind->listen window gets ECONNREFUSED (observed as a loaded-host
+    # race; tests wait for the file to appear)
     if socket_path is not None:
         if os.path.exists(socket_path):
             # only remove a STALE socket (dead server); a live server must
@@ -155,10 +159,12 @@ def _bind(socket_path: str | None, host: str | None, port: int | None):
             os.unlink(socket_path)
         srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         srv.bind(socket_path)
+        srv.listen(16)
         return srv, socket_path
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     srv.bind((host or "127.0.0.1", port or 0))
+    srv.listen(16)
     return srv, srv.getsockname()
 
 
@@ -263,7 +269,6 @@ def serve_forever(server: SegmentationServer, socket_path: str | None = None,
     options — anything near a megabyte is a protocol violation, not a
     workload)."""
     srv, address = _bind(socket_path, host, port)
-    srv.listen(16)
     if log:
         log(f"seg_serve: listening on {address} (model {server.model_dir})")
     if ready is not None:
