@@ -330,6 +330,33 @@ def test_case_name_collisions_disambiguated(tmp_path):
                         [str(tmp_path / "b.nii.gz")]]) == ["a", "b"]
 
 
+def test_c2f_prepared_input(c2f_model):
+    """The round-5 serving prep path (prepare_cases -> prepared=) drives
+    the c2f batch driver to the same result as the unprepared call."""
+    root, cases, save_dir = c2f_model
+    from segmentation3d_tpu.core.coarse_to_fine import (
+        segmentation_coarse_to_fine)
+    from segmentation3d_tpu.core.seg_infer import prepare_cases
+    from segmentation3d_tpu.io import read_image
+    kw = dict(seg_name="seg.nii.gz", partition_size=(32, 32, 32),
+              batch_size=1, margin_mm=8.0)
+    segmentation_coarse_to_fine(
+        cases[0][0][0], save_dir, save_dir, str(root / "prep_off"), **kw)
+    segmentation_coarse_to_fine(
+        cases[0][0][0], save_dir, save_dir, str(root / "prep_on"),
+        prepared=prepare_cases(cases[0][0][0]), **kw)
+    a = read_image(os.path.join(str(root / "prep_off"), "case0_mod0",
+                                "seg.nii.gz")).data
+    b = read_image(os.path.join(str(root / "prep_on"), "case0_mod0",
+                                "seg.nii.gz")).data
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # a mismatched prepared input raises before any case runs
+    with pytest.raises(ValueError, match="prepared input"):
+        segmentation_coarse_to_fine(
+            cases[1][0][0], save_dir, save_dir, str(root / "prep_bad"),
+            prepared=prepare_cases(cases[0][0][0]), **kw)
+
+
 def test_prep_channels_centered_valid_window():
     """The 6-tuple (offset+size) valid spec reads adaptive-normalizer stats
     from the CENTERED window — the c2f fine grid splits bucket padding
