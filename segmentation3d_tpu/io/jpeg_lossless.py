@@ -323,6 +323,11 @@ def decode_jpeg_lossless(data: bytes) -> np.ndarray:
         raise JpegError(f"missing Huffman table {td}")
     lut_sym, lut_len = _build_lut(*info["huff"][key])
     scan = data[info["scan_at"]:]
+    # loud-failure policy (matches io/dicom.py): a scan cut off before EOI
+    # would otherwise decode its tail from the bit reader's zero padding
+    # and return silently wrong voxels
+    if not bytes(scan).rstrip(b"\x00").endswith(bytes([0xFF, _EOI])):
+        raise JpegError("truncated scan: EOI (FFD9) not found")
     args = (scan, lut_sym, lut_len, frame["width"], frame["height"],
             frame["precision"], info["predictor"], info["pt"], info["ri"])
     out = _decode_scan_native(*args)

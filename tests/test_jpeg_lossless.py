@@ -104,6 +104,16 @@ def test_python_native_scan_parity():
     np.testing.assert_array_equal(py.reshape(img.shape), img)
 
 
+def test_truncated_scan_raises():
+    """A stream cut off before EOI raises instead of silently decoding the
+    tail from bit-reader zero padding (loud-failure policy)."""
+    img = _rand((16, 16), 1 << 12, seed=5)
+    blob = encode_jpeg_lossless(img, precision=12)
+    with pytest.raises(JpegError, match="EOI"):
+        decode_jpeg_lossless(blob[:-10])
+    np.testing.assert_array_equal(decode_jpeg_lossless(blob), img)
+
+
 def test_clear_errors():
     with pytest.raises(JpegError, match="SOI"):
         decode_jpeg_lossless(b"\x00\x01")
